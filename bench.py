@@ -1,0 +1,100 @@
+"""Benchmark: autoregressive decode throughput on the flagship decoder.
+
+Prints ONE JSON line:
+    {"metric": "decode_tokens_per_sec_per_chip", "value": N,
+     "unit": "tokens/s", "vs_baseline": N / 5000}
+
+Scenario (the synthesis hot path, BASELINE.md north-star): greedy-decode a
+full 12.8 s utterance — 1024 codec frames x 5 quantizer streams = 5120 audio
+tokens — conditioned on a 3 s voice prompt (240 frames x 5 = 1200 reference
+tokens) and a 50-phoneme text, batch 1, on one chip.  RTF = wall / 12.8 s.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _cast_params_bf16(params):
+    """Cast f32 params to bf16 for the bandwidth-bound decode, except the
+    small f32 vocab head."""
+
+    def cast(path, x):
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "head" in path_str or x.dtype != jnp.float32:
+            return x
+        return x.astype(jnp.bfloat16)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
+def main():
+    from __graft_entry__ import _flagship_cfg
+    from mamba_tts_tpu.models.decoder import MambaTTSDecoder, greedy_decode
+
+    cfg = _flagship_cfg()
+    dec = MambaTTSDecoder(cfg)
+
+    B = 1
+    F = 1024  # frames per stream (12.8 s of audio)
+    Q = cfg.num_quantizers
+    T_text, T_ref = 50, 1200  # 3 s voice prompt x 5 streams
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    audio_tokens = jax.random.randint(ks[0], (B, Q, 8), 2, cfg.vocab_size_audio)
+    text_hidden = jax.random.normal(ks[1], (B, T_text, cfg.d_model), jnp.bfloat16)
+    z_style = jax.random.normal(ks[2], (B, cfg.d_style), jnp.bfloat16)
+    ref_hidden = jax.random.normal(ks[3], (B, T_ref, cfg.d_model), jnp.bfloat16)
+    text_mask = jnp.ones((B, T_text), bool)
+    ref_mask = jnp.ones((B, T_ref), bool)
+
+    variables = dec.init(
+        ks[4], audio_tokens, text_hidden, z_style, text_mask, ref_hidden, ref_mask
+    )
+    variables = {"params": _cast_params_bf16(variables["params"])}
+
+    def decode(variables, text_hidden, z_style, text_mask, ref_hidden, ref_mask):
+        return greedy_decode(
+            dec, variables, text_hidden, z_style, F,
+            text_mask=text_mask, ref_hidden=ref_hidden, ref_mask=ref_mask,
+        ).tokens
+
+    decode_jit = jax.jit(decode)
+    args = (variables, text_hidden, z_style, text_mask, ref_hidden, ref_mask)
+
+    # device_get (not block_until_ready) — the tunneled TPU backend's
+    # block_until_ready does not reliably block.
+    jax.device_get(decode_jit(*args))  # compile + warm-up
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(decode_jit(*args))
+        best = min(best, time.perf_counter() - t0)
+
+    total_tokens = B * Q * F
+    tps = total_tokens / best
+    audio_seconds = F / 80.0  # 80 codec frames per second
+    rtf = best / audio_seconds
+
+    result = {
+        "metric": "decode_tokens_per_sec_per_chip",
+        "value": round(tps, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / 5000.0, 3),
+        "extra": {
+            "rtf": round(rtf, 4),
+            "wall_s": round(best, 3),
+            "tokens": total_tokens,
+            "batch": B,
+            "backend": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

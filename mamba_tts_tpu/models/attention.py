@@ -1,0 +1,75 @@
+"""Cross-attention with a decode-optimized precomputed-KV path.
+
+Replaces the role of ``nn.MultiheadAttention`` + cuDNN fused attention in the
+reference decoder (reference: mamba_decoder.py:32-36,67-78).  TPU-first
+design: during autoregressive decoding the ``[ref || text]`` memory is fixed,
+so K/V are projected ONCE before the decode ``lax.scan`` and each step is two
+small MXU matmuls — no per-step re-projection of a 5k-token memory.
+
+Mask convention (this framework, everywhere): ``mask`` is True for VALID
+positions.  (The reference mixes conventions: its decoder docstring says
+True=padding while the code inverts it — README.md:20 vs
+mamba_decoder.py:69-71; we standardize and adapt at the boundaries.)
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e9
+
+
+class CrossAttention(nn.Module):
+    d_model: int
+    n_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        assert self.d_model % self.n_heads == 0
+        self.head_dim = self.d_model // self.n_heads
+        self.q_proj = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")
+        self.k_proj = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")
+        self.v_proj = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")
+        self.o_proj = nn.Dense(self.d_model, dtype=self.dtype, name="o_proj")
+
+    def _split(self, x: jax.Array) -> jax.Array:
+        B, T, _ = x.shape
+        return x.reshape(B, T, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+    def project_memory(self, memory: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """memory: (B, Tm, d_model) -> K, V each (B, H, Tm, head_dim)."""
+        return self._split(self.k_proj(memory)), self._split(self.v_proj(memory))
+
+    def attend(
+        self,
+        x: jax.Array,
+        K: jax.Array,
+        V: jax.Array,
+        memory_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """x: (B, Tq, d_model) queries against precomputed K/V."""
+        B, Tq, _ = x.shape
+        q = self._split(self.q_proj(x))  # (B, H, Tq, hd)
+        scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, K, preferred_element_type=jnp.float32
+        ) * scale
+        if memory_mask is not None:
+            bias = jnp.where(memory_mask[:, None, None, :], 0.0, _NEG_INF)
+            logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(V.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, V)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
+        return self.o_proj(out)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        memory: jax.Array,
+        memory_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        K, V = self.project_memory(memory)
+        return self.attend(x, K, V, memory_mask)
