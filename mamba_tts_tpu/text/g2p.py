@@ -1,0 +1,291 @@
+"""Grapheme-to-phoneme engine (ARPAbet with stress digits).
+
+Fills the role of ``g2p_en`` in the reference front-end (reference:
+data_utils/text_processor.py:73-114): word -> ARPAbet phonemes.  This
+environment is offline (no g2p_en, no nltk corpora), so the engine is
+layered and fully self-contained:
+
+1. **Lexicon lookup** — a CMU-dict-format file if provided (``cmudict_path``;
+   standard ``WORD  PH PH PH`` lines), drop-in for the real CMUdict; plus a
+   built-in seed lexicon of frequent English words.
+2. **Rule-based letter-to-sound fallback** for out-of-vocabulary words:
+   digraphs, vowel teams, magic-e, and default mappings, with primary stress
+   on the first vowel.  Deterministic and always emits tokens from the
+   79-token phoneme vocabulary.
+
+The tokenizer is a TweetTokenizer-like regex word splitter (the reference's
+``EnG2p.word_tokenize``).  Homograph disambiguation (reference uses POS tags)
+degrades gracefully to the lexicon's primary pronunciation offline.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence
+
+# ---------------------------------------------------------------- seed lexicon
+
+_SEED_LEXICON_RAW = """
+a AH0 | the DH AH0 | and AH0 N D | to T UW1 | of AH1 V | in IH0 N
+i AY1 | you Y UW1 | it IH1 T | is IH1 Z | that DH AE1 T | was W AA1 Z
+he HH IY1 | she SH IY1 | we W IY1 | they DH EY1 | for F AO1 R | are AA1 R
+with W IH1 DH | his HH IH1 Z | her HH ER1 | be B IY1 | as AE1 Z | at AE1 T
+have HH AE1 V | has HH AE1 Z | had HH AE1 D | this DH IH1 S | from F R AH1 M
+or AO1 R | one W AH1 N | by B AY1 | but B AH1 T | not N AA1 T | what W AH1 T
+all AO1 L | were W ER1 | when W EH1 N | your Y AO1 R | can K AE1 N
+said S EH1 D | there DH EH1 R | use Y UW1 S | an AE1 N | each IY1 CH
+which W IH1 CH | do D UW1 | how HH AW1 | their DH EH1 R | if IH1 F
+will W IH1 L | up AH1 P | other AH1 DH ER0 | about AH0 B AW1 T
+out AW1 T | many M EH1 N IY0 | then DH EH1 N | them DH EH1 M
+these DH IY1 Z | so S OW1 | some S AH1 M | would W UH1 D | make M EY1 K
+like L AY1 K | him HH IH1 M | into IH1 N T UW0 | time T AY1 M
+look L UH1 K | two T UW1 | more M AO1 R | write R AY1 T | go G OW1
+see S IY1 | number N AH1 M B ER0 | no N OW1 | way W EY1 | could K UH1 D
+people P IY1 P AH0 L | my M AY1 | than DH AE1 N | first F ER1 S T
+water W AO1 T ER0 | been B IH1 N | call K AO1 L | who HH UW1
+its IH1 T S | now N AW1 | find F AY1 N D | long L AO1 NG | down D AW1 N
+day D EY1 | did D IH1 D | get G EH1 T | come K AH1 M | made M EY1 D
+may M EY1 | part P AA1 R T | over OW1 V ER0 | new N UW1 | sound S AW1 N D
+take T EY1 K | only OW1 N L IY0 | little L IH1 T AH0 L | work W ER1 K
+know N OW1 | place P L EY1 S | year Y IH1 R | live L IH1 V | me M IY1
+back B AE1 K | give G IH1 V | most M OW1 S T | very V EH1 R IY0
+after AE1 F T ER0 | thing TH IH1 NG | our AW1 ER0 | just JH AH1 S T
+name N EY1 M | good G UH1 D | sentence S EH1 N T AH0 N S | man M AE1 N
+think TH IH1 NG K | say S EY1 | great G R EY1 T | where W EH1 R
+help HH EH1 L P | through TH R UW1 | much M AH1 CH | before B IH0 F AO1 R
+line L AY1 N | right R AY1 T | too T UW1 | mean M IY1 N | old OW1 L D
+any EH1 N IY0 | same S EY1 M | tell T EH1 L | boy B OY1 | follow F AA1 L OW0
+came K EY1 M | want W AA1 N T | show SH OW1 | also AO1 L S OW0
+around ER0 AW1 N D | form F AO1 R M | three TH R IY1 | small S M AO1 L
+set S EH1 T | put P UH1 T | end EH1 N D | does D AH1 Z | another AH0 N AH1 DH ER0
+well W EH1 L | large L AA1 R JH | must M AH1 S T | big B IH1 G
+even IY1 V IH0 N | such S AH1 CH | because B IH0 K AO1 Z | turn T ER1 N
+here HH IY1 R | why W AY1 | ask AE1 S K | went W EH1 N T | men M EH1 N
+read R IY1 D | need N IY1 D | land L AE1 N D | different D IH1 F ER0 AH0 N T
+home HH OW1 M | us AH1 S | move M UW1 V | try T R AY1 | kind K AY1 N D
+hand HH AE1 N D | picture P IH1 K CH ER0 | again AH0 G EH1 N
+change CH EY1 N JH | off AO1 F | play P L EY1 | spell S P EH1 L
+air EH1 R | away AH0 W EY1 | animal AE1 N AH0 M AH0 L | house HH AW1 S
+point P OY1 N T | page P EY1 JH | letter L EH1 T ER0 | mother M AH1 DH ER0
+answer AE1 N S ER0 | found F AW1 N D | study S T AH1 D IY0 | still S T IH1 L
+learn L ER1 N | should SH UH1 D | world W ER1 L D | high HH AY1
+every EH1 V ER0 IY0 | near N IH1 R | add AE1 D | food F UW1 D
+between B IH0 T W IY1 N | own OW1 N | below B IH0 L OW1 | country K AH1 N T R IY0
+plant P L AE1 N T | last L AE1 S T | school S K UW1 L | father F AA1 DH ER0
+keep K IY1 P | tree T R IY1 | never N EH1 V ER0 | start S T AA1 R T
+city S IH1 T IY0 | earth ER1 TH | eye AY1 | light L AY1 T | thought TH AO1 T
+head HH EH1 D | under AH1 N D ER0 | story S T AO1 R IY0 | saw S AO1
+left L EH1 F T | dont D OW1 N T | few F Y UW1 | while W AY1 L
+along AH0 L AO1 NG | might M AY1 T | close K L OW1 S | something S AH1 M TH IH0 NG
+seem S IY1 M | next N EH1 K S T | hard HH AA1 R D | open OW1 P AH0 N
+example IH0 G Z AE1 M P AH0 L | begin B IH0 G IH1 N | life L AY1 F
+always AO1 L W EY2 Z | those DH OW1 Z | both B OW1 TH | paper P EY1 P ER0
+together T AH0 G EH1 DH ER0 | got G AA1 T | group G R UW1 P
+often AO1 F AH0 N | run R AH1 N | important IH0 M P AO1 R T AH0 N T
+until AH0 N T IH1 L | children CH IH1 L D R AH0 N | side S AY1 D
+feet F IY1 T | car K AA1 R | mile M AY1 L | night N AY1 T | walk W AO1 K
+white W AY1 T | sea S IY1 | began B IH0 G AE1 N | grow G R OW1
+took T UH1 K | river R IH1 V ER0 | four F AO1 R | carry K AE1 R IY0
+state S T EY1 T | once W AH1 N S | book B UH1 K | hear HH IY1 R
+stop S T AA1 P | without W IH0 TH AW1 T | second S EH1 K AH0 N D
+later L EY1 T ER0 | miss M IH1 S | idea AY0 D IY1 AH0 | enough IH0 N AH1 F
+eat IY1 T | face F EY1 S | watch W AA1 CH | far F AA1 R
+really R IH1 L IY0 | almost AO1 L M OW2 S T | let L EH1 T | above AH0 B AH1 V
+girl G ER1 L | sometimes S AH1 M T AY2 M Z | mountain M AW1 N T AH0 N
+cut K AH1 T | young Y AH1 NG | talk T AO1 K | soon S UW1 N | list L IH1 S T
+song S AO1 NG | being B IY1 IH0 NG | leave L IY1 V | family F AE1 M AH0 L IY0
+voice V OY1 S | speak S P IY1 K | fast F AE1 S T | slow S L OW1 OW0
+happy HH AE1 P IY0 | sad S AE1 D | angry AE1 NG G R IY0 | calm K AA1 M
+loud L AW1 D | quiet K W AY1 AH0 T | speech S P IY1 CH | tone T OW1 N
+energy EH1 N ER0 JH IY0 | emotion IH0 M OW1 SH AH0 N | style S T AY1 L
+pitch P IH1 CH | whisper W IH1 S P ER0 | shout SH AW1 T | deep D IY1 P
+soft S AO1 F T | gentle JH EH1 N T AH0 L | cheerful CH IH1 R F AH0 L
+"""
+
+
+def _parse_seed() -> Dict[str, List[str]]:
+    lex: Dict[str, List[str]] = {}
+    for entry in _SEED_LEXICON_RAW.replace("\n", " | ").split("|"):
+        entry = entry.strip()
+        if not entry:
+            continue
+        parts = entry.split()
+        lex[parts[0]] = parts[1:]
+    return lex
+
+
+# -------------------------------------------------- rule-based letter-to-sound
+
+# Ordered multi-letter rules (longest match first within each position).
+_LTS_RULES = [
+    ("tion", ["SH", "AH0", "N"]),
+    ("sion", ["ZH", "AH0", "N"]),
+    ("ought", ["AO1", "T"]),
+    ("ight", ["AY1", "T"]),
+    ("tch", ["CH"]),
+    ("dge", ["JH"]),
+    ("eigh", ["EY1"]),
+    ("augh", ["AO1"]),
+    ("ough", ["AO1"]),
+    ("qu", ["K", "W"]),
+    ("th", ["TH"]),
+    ("ch", ["CH"]),
+    ("sh", ["SH"]),
+    ("ph", ["F"]),
+    ("wh", ["W"]),
+    ("ck", ["K"]),
+    ("ng", ["NG"]),
+    ("gh", []),
+    ("kn", ["N"]),
+    ("wr", ["R"]),
+    ("ee", ["IY1"]),
+    ("ea", ["IY1"]),
+    ("ai", ["EY1"]),
+    ("ay", ["EY1"]),
+    ("oa", ["OW1"]),
+    ("ow", ["OW1"]),
+    ("ou", ["AW1"]),
+    ("oo", ["UW1"]),
+    ("au", ["AO1"]),
+    ("aw", ["AO1"]),
+    ("oi", ["OY1"]),
+    ("oy", ["OY1"]),
+    ("ie", ["IY1"]),
+    ("ey", ["IY1"]),
+    ("ue", ["UW1"]),
+    ("ew", ["UW1"]),
+    ("ar", ["AA1", "R"]),
+    ("or", ["AO1", "R"]),
+    ("er", ["ER0"]),
+    ("ir", ["ER1"]),
+    ("ur", ["ER1"]),
+]
+
+_SINGLE = {
+    "a": ["AE1"], "b": ["B"], "c": ["K"], "d": ["D"], "e": ["EH1"],
+    "f": ["F"], "g": ["G"], "h": ["HH"], "i": ["IH1"], "j": ["JH"],
+    "k": ["K"], "l": ["L"], "m": ["M"], "n": ["N"], "o": ["AA1"],
+    "p": ["P"], "q": ["K"], "r": ["R"], "s": ["S"], "t": ["T"],
+    "u": ["AH1"], "v": ["V"], "w": ["W"], "x": ["K", "S"], "y": ["Y"],
+    "z": ["Z"],
+}
+
+_VOWELS = set("aeiou")
+_LONG_VOWEL = {"a": "EY1", "e": "IY1", "i": "AY1", "o": "OW1", "u": "UW1"}
+
+
+def rule_g2p(word: str) -> List[str]:
+    """Deterministic letter-to-sound fallback producing ARPAbet."""
+    word = word.lower()
+    # Magic-e: CVCe -> long vowel, silent e.
+    if (
+        len(word) >= 3
+        and word.endswith("e")
+        and word[-2] not in _VOWELS
+        and word[-3] in _VOWELS
+    ):
+        stem = word[:-1]
+        phones = _rule_scan(stem[:-2])
+        phones.append(_LONG_VOWEL[stem[-2]])
+        phones.extend(_SINGLE.get(stem[-1], []))
+        return _fix_stress(phones)
+    return _fix_stress(_rule_scan(word))
+
+
+def _rule_scan(word: str) -> List[str]:
+    phones: List[str] = []
+    i = 0
+    while i < len(word):
+        for pat, ph in _LTS_RULES:
+            if word.startswith(pat, i):
+                # soft c / g before e, i, y
+                phones.extend(ph)
+                i += len(pat)
+                break
+        else:
+            ch = word[i]
+            nxt = word[i + 1] if i + 1 < len(word) else ""
+            if ch == "c" and nxt in "eiy":
+                phones.append("S")
+            elif ch == "g" and nxt in "eiy":
+                phones.append("JH")
+            elif ch == "y" and (i == len(word) - 1 or nxt not in _VOWELS) and i > 0:
+                phones.append("IY0" if i == len(word) - 1 else "IH1")
+            elif ch == "e" and i == len(word) - 1 and len(word) > 2:
+                pass  # trailing silent e
+            else:
+                phones.extend(_SINGLE.get(ch, []))
+            i += 1
+    return phones
+
+
+def _fix_stress(phones: List[str]) -> List[str]:
+    """Keep primary stress only on the first vowel; later vowels get 0."""
+    seen = False
+    out = []
+    for p in phones:
+        if p and p[-1].isdigit():
+            if not seen:
+                p = p[:-1] + "1"
+                seen = True
+            else:
+                p = p[:-1] + "0"
+        out.append(p)
+    return out
+
+
+# ---------------------------------------------------------------- tokenization
+
+_WORD_RE = re.compile(r"[a-zA-Z']+|[0-9]+|[^\sa-zA-Z0-9]")
+
+
+def word_tokenize(text: str) -> List[str]:
+    """TweetTokenizer-like word/punct split."""
+    return _WORD_RE.findall(text)
+
+
+# ----------------------------------------------------------------------- G2P
+
+
+class EnG2p:
+    """Text -> list of ARPAbet phonemes with " " separating words
+    (interface of reference: data_utils/text_processor.py:73-114)."""
+
+    def __init__(self, cmudict_path: Optional[str] = None):
+        self.lexicon = _parse_seed()
+        if cmudict_path:
+            self.load_cmudict(cmudict_path)
+
+    def load_cmudict(self, path: str) -> int:
+        """Load a CMU-dict-format lexicon (``WORD  PH PH``; ;;; comments).
+        Returns number of entries loaded; primary pronunciations win."""
+        n = 0
+        with open(path, encoding="latin-1") as f:
+            for line in f:
+                if line.startswith(";;;") or not line.strip():
+                    continue
+                parts = line.split()
+                word = parts[0].lower()
+                if word.endswith(")"):  # alternate pronunciation WORD(2)
+                    continue
+                word = re.sub(r"\(\d+\)$", "", word)
+                self.lexicon.setdefault(word, parts[1:])
+                n += 1
+        return n
+
+    def predict(self, word: str) -> List[str]:
+        return rule_g2p(word)
+
+    def __call__(self, text: str) -> List[str]:
+        words = word_tokenize(text)
+        prons: List[str] = []
+        for word in words:
+            lower = word.lower()
+            if re.search("[a-z]", lower) is None:
+                pron = [word]  # punctuation/number token passes through
+            elif lower in self.lexicon:
+                pron = list(self.lexicon[lower])
+            else:
+                pron = self.predict(lower)
+            prons.extend(pron)
+            prons.append(" ")
+        return prons[:-1] if prons else []

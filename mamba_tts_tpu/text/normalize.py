@@ -1,0 +1,128 @@
+"""Text normalization for the G2P front-end.
+
+Reimplements the behavior of the reference's preprocessing chain
+(reference: data_utils/text_processor.py:121-170): number expansion, accent
+strip, lowercase, quote/paren removal, hyphen normalization, charset filter
+to ``[a-z !,.?;:]``, punctuation collapse/spacing, and the "i.e." / "etc."
+special cases.  The number expansion (the role of ``g2p_en.expand.
+normalize_numbers``, unavailable offline) is implemented natively: cardinals,
+ordinals, decimals, currency, commas-in-numbers, and year-like reads.
+"""
+from __future__ import annotations
+
+import re
+import unicodedata
+
+PUNCS = "!,.?;:"
+
+_UNITS = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_TENS = [
+    "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+    "eighty", "ninety",
+]
+_SCALES = [(10**9, "billion"), (10**6, "million"), (10**3, "thousand"), (100, "hundred")]
+
+_ORDINAL_UNITS = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def number_to_words(n: int) -> str:
+    if n < 0:
+        return "minus " + number_to_words(-n)
+    if n < 20:
+        return _UNITS[n]
+    if n < 100:
+        tens, rem = divmod(n, 10)
+        return _TENS[tens] + ("" if rem == 0 else " " + _UNITS[rem])
+    for value, name in _SCALES:
+        if n >= value:
+            major, rem = divmod(n, value)
+            words = number_to_words(major) + " " + name
+            if rem:
+                words += " " + number_to_words(rem)
+            return words
+    return _UNITS[0]
+
+
+def ordinal_to_words(n: int) -> str:
+    words = number_to_words(n)
+    head, _, last = words.rpartition(" ")
+    if last in _ORDINAL_UNITS:
+        last = _ORDINAL_UNITS[last]
+    elif last.endswith("y"):
+        last = last[:-1] + "ieth"
+    else:
+        last = last + "th"
+    return (head + " " + last).strip()
+
+
+def _expand_dollars(m: re.Match) -> str:
+    amount = m.group(1).replace(",", "")
+    if "." in amount:
+        d, c = amount.split(".", 1)
+        d, c = int(d or 0), int((c + "0")[:2])
+        parts = []
+        if d:
+            parts.append(number_to_words(d) + (" dollar" if d == 1 else " dollars"))
+        if c:
+            parts.append(number_to_words(c) + (" cent" if c == 1 else " cents"))
+        return " ".join(parts) or "zero dollars"
+    d = int(amount)
+    return number_to_words(d) + (" dollar" if d == 1 else " dollars")
+
+
+def _expand_decimal(m: re.Match) -> str:
+    whole, frac = m.group(1), m.group(2)
+    digits = " ".join(_UNITS[int(ch)] for ch in frac)
+    return f"{number_to_words(int(whole))} point {digits}"
+
+
+def _expand_year(n: int) -> str:
+    """Read 4-digit year-like numbers as pairs (1984 -> nineteen eighty four)."""
+    hi, lo = divmod(n, 100)
+    if lo == 0:
+        return number_to_words(hi) + " hundred"
+    if hi % 10 == 0:
+        return number_to_words(n)
+    return number_to_words(hi) + " " + ("oh " + _UNITS[lo] if lo < 10 else number_to_words(lo))
+
+
+def _expand_cardinal(m: re.Match) -> str:
+    n = int(m.group(0).replace(",", ""))
+    if 1000 <= n <= 2999 and len(m.group(0).replace(",", "")) == 4:
+        return _expand_year(n)
+    return number_to_words(n)
+
+
+def normalize_numbers(text: str) -> str:
+    text = re.sub(r"\$([0-9,]*\.?[0-9]+)", _expand_dollars, text)
+    text = re.sub(r"\b([0-9]+)\.([0-9]+)\b", _expand_decimal, text)
+    text = re.sub(r"\b([0-9,]*[0-9])(st|nd|rd|th)\b", lambda m: ordinal_to_words(int(m.group(1).replace(",", ""))), text)
+    text = re.sub(r"[0-9][0-9,]*", _expand_cardinal, text)
+    return text
+
+
+def preprocess_text(text: str) -> str:
+    """Full normalization chain (reference: text_processor.py:121-170)."""
+    text = normalize_numbers(text)
+    text = "".join(
+        ch for ch in unicodedata.normalize("NFD", text)
+        if unicodedata.category(ch) != "Mn"
+    )
+    text = text.lower()
+    text = re.sub(r"[\'\"()]+", "", text)
+    text = re.sub(r"[-]+", " ", text)
+    text = re.sub(rf"[^ a-z{PUNCS}]", "", text)
+    text = re.sub(rf" ?([{PUNCS}]) ?", r"\1", text)
+    text = re.sub(rf"([{PUNCS}])+", r"\1", text)
+    text = text.replace("i.e.", "that is")
+    text = text.replace("etc.", "etc")
+    text = re.sub(rf"([{PUNCS}])", r" \1 ", text)
+    text = re.sub(r"\s+", " ", text)
+    return text

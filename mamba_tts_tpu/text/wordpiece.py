@@ -1,0 +1,147 @@
+"""Self-contained WordPiece tokenizer for the style-text encoder.
+
+The reference tokenizes style prompts with HF ``bert-base-uncased``'s
+tokenizer (reference: smsd.py:40,70-76).  This environment has no network and
+no cached vocab, so this module implements WordPiece natively:
+
+- With a real ``vocab.txt`` (30,522 lines, one token per line) the behavior is
+  standard uncased BERT tokenization: basic cleanup, lowercase, accent strip,
+  punctuation split, greedy longest-match WordPiece with ``##`` continuations.
+- Without a vocab file it falls back to a deterministic hash vocabulary: the
+  same string always maps to the same id in [999, vocab_size), keeping the
+  full pipeline runnable (tests, training smoke) with capability parity.
+  Special ids follow BERT conventions: [PAD]=0, [UNK]=100, [CLS]=101,
+  [SEP]=102.
+"""
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+PAD_ID, UNK_ID, CLS_ID, SEP_ID = 0, 100, 101, 102
+
+
+def _basic_clean(text: str) -> str:
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or unicodedata.category(ch).startswith("C"):
+            continue
+        out.append(" " if ch in ("\t", "\n", "\r") else ch)
+    return "".join(out)
+
+
+def _strip_accents(text: str) -> str:
+    return "".join(
+        ch for ch in unicodedata.normalize("NFD", text)
+        if unicodedata.category(ch) != "Mn"
+    )
+
+
+def _is_punct(ch: str) -> bool:
+    cp = ord(ch)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
+    text = _basic_clean(text)
+    if lowercase:
+        text = _strip_accents(text.lower())
+    tokens: List[str] = []
+    word = []
+    for ch in text:
+        if ch.isspace():
+            if word:
+                tokens.append("".join(word))
+                word = []
+        elif _is_punct(ch):
+            if word:
+                tokens.append("".join(word))
+                word = []
+            tokens.append(ch)
+        else:
+            word.append(ch)
+    if word:
+        tokens.append("".join(word))
+    return tokens
+
+
+class BertTokenizer:
+    """WordPiece tokenizer with batch encode to fixed-length id arrays."""
+
+    def __init__(
+        self,
+        vocab_path: Optional[str] = None,
+        vocab_size: int = 30522,
+        max_wordpiece_chars: int = 100,
+    ):
+        self.vocab_size = vocab_size
+        self.max_wordpiece_chars = max_wordpiece_chars
+        self.vocab: Optional[Dict[str, int]] = None
+        if vocab_path is not None:
+            with open(vocab_path, encoding="utf-8") as f:
+                tokens = [line.rstrip("\n") for line in f]
+            self.vocab = {t: i for i, t in enumerate(tokens)}
+            self.vocab_size = len(tokens)
+        # BERT-convention special ids when the vocab is big enough; compact
+        # ids (0..3) for tiny test vocabularies.
+        if self.vocab_size >= 1000:
+            self.pad_id, self.unk_id, self.cls_id, self.sep_id = PAD_ID, UNK_ID, CLS_ID, SEP_ID
+            self._hash_lo = 999
+        else:
+            self.pad_id, self.unk_id, self.cls_id, self.sep_id = 0, 1, 2, 3
+            self._hash_lo = 4
+
+    def _hash_id(self, token: str) -> int:
+        """Deterministic fallback id in [hash_lo, vocab_size)."""
+        h = int.from_bytes(hashlib.md5(token.encode()).digest()[:4], "little")
+        return self._hash_lo + (h % (self.vocab_size - self._hash_lo))
+
+    def _wordpiece(self, word: str) -> List[int]:
+        if self.vocab is None:
+            return [self._hash_id(word)]
+        if len(word) > self.max_wordpiece_chars:
+            return [self.vocab.get("[UNK]", self.unk_id)]
+        ids: List[int] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.vocab.get("[UNK]", self.unk_id)]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def encode(self, text: str, max_length: int = 128) -> Tuple[List[int], List[int]]:
+        """Returns (ids, attention_mask) with [CLS] ... [SEP] + PAD."""
+        ids = [self.vocab.get("[CLS]", self.cls_id) if self.vocab else self.cls_id]
+        for word in basic_tokenize(text):
+            ids.extend(self._wordpiece(word))
+            if len(ids) >= max_length - 1:
+                break
+        sep = self.vocab.get("[SEP]", self.sep_id) if self.vocab else self.sep_id
+        ids = ids[: max_length - 1] + [sep]
+        mask = [1] * len(ids)
+        pad = max_length - len(ids)
+        pad_id = self.vocab.get("[PAD]", self.pad_id) if self.vocab else self.pad_id
+        return ids + [pad_id] * pad, mask + [0] * pad
+
+    def encode_batch(
+        self, texts: Sequence[str], max_length: int = 128
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        ids, masks = zip(*(self.encode(t, max_length) for t in texts))
+        return np.asarray(ids, np.int32), np.asarray(masks, bool)

@@ -1,0 +1,106 @@
+"""Style-text encoder (WordPiece + Flax BERT) tests."""
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_tts_tpu.config import StyleEncoderConfig
+from mamba_tts_tpu.models.style_text_encoder import BertEncoder, StyleTextEncoder
+from mamba_tts_tpu.text.wordpiece import CLS_ID, PAD_ID, SEP_ID, BertTokenizer, basic_tokenize
+
+TINY = StyleEncoderConfig(
+    vocab_size=1000, d_model=32, n_layers=2, n_heads=4, d_ff=64, max_position=64,
+    max_length=16,
+)
+
+
+def test_basic_tokenize():
+    assert basic_tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+    assert basic_tokenize("café") == ["cafe"]  # accent strip
+    assert basic_tokenize("") == []
+
+
+def test_tokenizer_fallback_deterministic():
+    tok = BertTokenizer(vocab_size=1000)
+    ids1, mask1 = tok.encode("speak fast", max_length=8)
+    ids2, _ = tok.encode("speak fast", max_length=8)
+    assert ids1 == ids2
+    assert ids1[0] == CLS_ID
+    assert SEP_ID in ids1
+    assert len(ids1) == 8 and len(mask1) == 8
+    assert all(i == PAD_ID for i, m in zip(ids1, mask1) if not m)
+    assert all(999 <= i < 1000 or i in (CLS_ID, SEP_ID) for i, m in zip(ids1, mask1) if m)
+
+
+def test_tokenizer_with_vocab_file(tmp_path):
+    vocab = ["[PAD]"] * 100 + ["[UNK]", "[CLS]", "[SEP]"] + ["speak", "fast", "##ly", "un"]
+    # indices: [UNK]=100,[CLS]=101,[SEP]=102, speak=103, fast=104, ##ly=105, un=106
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(f"{t}{i}" if t == "[PAD]" and i else t for i, t in enumerate(vocab)))
+    # make pad tokens unique lines so the dict keeps 107 entries
+    tok = BertTokenizer(str(p))
+    ids, mask = tok.encode("speak fastly", max_length=8)
+    assert ids[:5] == [101, 103, 104, 105, 102]  # [CLS] speak fast ##ly [SEP]
+    ids2, _ = tok.encode("zzz", max_length=8)
+    assert ids2[1] == 100  # [UNK]
+
+
+def test_bert_encoder_shapes_and_mask():
+    enc = BertEncoder(TINY)
+    ids = jnp.array([[101, 5, 6, 102, 0, 0]], jnp.int32)
+    mask = ids != 0
+    import jax
+    variables = enc.init(jax.random.PRNGKey(0), ids, mask)
+    cls = enc.apply(variables, ids, mask)
+    assert cls.shape == (1, TINY.d_model)
+    # padded content must not affect the CLS embedding
+    ids2 = ids.at[0, 4:].set(77)
+    cls2 = enc.apply(variables, ids2, mask)
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(cls2), rtol=1e-5, atol=1e-5)
+
+
+def test_style_text_encoder_end_to_end():
+    se = StyleTextEncoder(TINY)
+    emb = se.embed(["speak in a fast voice", "slow and calm"])
+    assert emb.shape == (2, TINY.d_model)
+    # deterministic and batch-order stable
+    emb2 = se.embed(["speak in a fast voice", "slow and calm"])
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb2), atol=1e-6)
+    single = se.embed("speak in a fast voice")
+    assert single.shape == (1, TINY.d_model)
+
+
+def test_torch_state_dict_conversion():
+    import numpy as np
+
+    from mamba_tts_tpu.models.style_text_encoder import convert_torch_bert_state_dict
+
+    cfg = StyleEncoderConfig(vocab_size=50, d_model=8, n_layers=1, n_heads=2, d_ff=16,
+                             max_position=16, type_vocab_size=2)
+    rng = np.random.RandomState(0)
+    sd = {
+        "embeddings.word_embeddings.weight": rng.randn(50, 8),
+        "embeddings.position_embeddings.weight": rng.randn(16, 8),
+        "embeddings.token_type_embeddings.weight": rng.randn(2, 8),
+        "embeddings.LayerNorm.weight": np.ones(8),
+        "embeddings.LayerNorm.bias": np.zeros(8),
+    }
+    e = "encoder.layer.0"
+    for name, shape in [
+        ("attention.self.query", (8, 8)), ("attention.self.key", (8, 8)),
+        ("attention.self.value", (8, 8)), ("attention.output.dense", (8, 8)),
+        ("intermediate.dense", (16, 8)), ("output.dense", (8, 16)),
+    ]:
+        sd[f"{e}.{name}.weight"] = rng.randn(*shape)
+        sd[f"{e}.{name}.bias"] = rng.randn(shape[0])
+    for name in ["attention.output.LayerNorm", "output.LayerNorm"]:
+        sd[f"{e}.{name}.weight"] = np.ones(8)
+        sd[f"{e}.{name}.bias"] = np.zeros(8)
+
+    se = StyleTextEncoder(cfg, checkpoint=sd)
+    emb = se.embed(["test"])
+    assert emb.shape == (1, 8)
+    assert bool(jnp.isfinite(emb).all())
+    # converted kernel is the transpose of the torch weight
+    np.testing.assert_allclose(
+        np.asarray(se.params["layer_0"]["q"]["kernel"]),
+        sd[f"{e}.attention.self.query.weight"].T.astype(np.float32),
+    )
