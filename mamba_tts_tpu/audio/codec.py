@@ -1,0 +1,141 @@
+"""Audio-token codec wrapper: the framework's tokenize/detokenize boundary.
+
+Re-designs reference: data_utils/audio_encoder.py:134-272 (``FACodecEncoder``)
+TPU-first:
+
+- ``encode(wavs)``: paths / bytes / float arrays -> 16 kHz mono -> bucket-pad
+  (static shapes, bounded recompiles) -> jitted codec encode -> codec ids
+  ``(B, max_seq_len, 5)`` in stream order [Qp, Qr1, Qr2, Qr3, Qc] + speaker
+  embeddings (B, spk_dim).  12.5 ms per token (hop 200 @16 kHz, 80 tokens/s).
+- ``decode(codec, spk)``: the synthesis vocoder path the reference never
+  wires up — codec ids -> waveform.
+
+Defect-5 fix (SURVEY §7): codebook ids are shifted by ``id_offset`` (=2) so
+that PAD=0 / BOS=1 never collide with real codebook id 0; frame padding uses
+PAD=0.  ``vocab_size_audio = codebook_size + 2`` accordingly.
+"""
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_tts_tpu.audio import wavio
+from mamba_tts_tpu.config import CodecConfig
+from mamba_tts_tpu.models.facodec import FACodec
+
+WavSource = Union[str, bytes, np.ndarray]
+
+PAD_ID = 0
+BOS_ID = 1
+ID_OFFSET = 2  # codebook id k -> token id k + ID_OFFSET
+
+
+class FACodecTokenizer:
+    """Host wrapper around the Flax FACodec with the (B, T, 5) contract."""
+
+    def __init__(
+        self,
+        cfg: Optional[CodecConfig] = None,
+        params=None,
+        seed: int = 0,
+        bucket_seconds: float = 0.8,
+    ):
+        self.cfg = cfg or CodecConfig()
+        self.module = FACodec(self.cfg)
+        self.hop = self.cfg.hop_length
+        self.bucket = int(bucket_seconds * self.cfg.sample_rate)
+        assert self.bucket % self.hop == 0
+        if params is None:
+            wav = jnp.zeros((1, self.bucket), jnp.float32)
+            params = self.module.init(jax.random.PRNGKey(seed), wav)["params"]
+        self.params = params
+        self._encode_jit = jax.jit(
+            lambda wav: self.module.apply({"params": self.params}, wav, method=FACodec.encode)
+        )
+        self._decode_jit = jax.jit(
+            lambda ids, spk: self.module.apply(
+                {"params": self.params}, ids, spk, method=FACodec.decode
+            )
+        )
+
+    # ------------------------------------------------------------------ load
+
+    def _load(self, item: WavSource) -> np.ndarray:
+        if isinstance(item, np.ndarray):
+            wav = item.astype(np.float32)
+            if wav.ndim == 2:  # (C, T) or (T, C) -> mono
+                wav = wav.mean(axis=0 if wav.shape[0] < wav.shape[1] else 1)
+            return wav
+        wav, _ = wavio.read_wav_mono(item, target_sr=self.cfg.sample_rate)
+        return wav
+
+    # ---------------------------------------------------------------- encode
+
+    def encode(
+        self, wav: Union[WavSource, Sequence[WavSource]], sr: int = 16000
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (codec (B, max_seq_len, num_q) int32 shifted ids,
+        spk_embs (B, spk_dim) float32)."""
+        codec, spk, _ = self.encode_with_lengths(wav, sr)
+        return codec, spk
+
+    def encode_with_lengths(
+        self, wav: Union[WavSource, Sequence[WavSource]], sr: int = 16000
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if isinstance(wav, (str, bytes, np.ndarray)):
+            wav = [wav]
+        waves = [self._load(w) for w in wav]
+        max_len = max(w.shape[0] for w in waves)
+        # Bucket to a static shape (multiple of bucket; cap at max_seq_len frames).
+        cap = self.cfg.max_seq_len * self.hop
+        padded_len = min(-(-max_len // self.bucket) * self.bucket, cap)
+        batch = np.zeros((len(waves), padded_len), np.float32)
+        lengths = np.zeros((len(waves),), np.int32)
+        for i, w in enumerate(waves):
+            n = min(w.shape[0], padded_len)
+            batch[i, :n] = w[:n]
+            lengths[i] = -(-n // self.hop)  # frames actually covered
+
+        ids, spk = self._encode_jit(jnp.asarray(batch))  # (num_q, B, T_f), (B, spk)
+        ids = np.asarray(ids)
+        num_q, B, T_f = ids.shape
+
+        S = self.cfg.max_seq_len
+        codec = np.full((B, S, num_q), PAD_ID, np.int32)
+        t = min(T_f, S)
+        # shift codebook ids out of the special-id range
+        shifted = ids[:, :, :t].transpose(1, 2, 0) + ID_OFFSET  # (B, t, num_q)
+        codec[:, :t] = shifted
+        # zero out frames beyond each sample's true length
+        frame_idx = np.arange(S)[None, :]
+        codec[frame_idx >= np.minimum(lengths, S)[:, None]] = PAD_ID
+        return codec, np.asarray(spk), np.minimum(lengths, S)
+
+    # ---------------------------------------------------------------- decode
+
+    def decode(
+        self, codec: np.ndarray, spk: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """codec (B, T, num_q) shifted ids -> waveform (B, T * hop) float32.
+
+        PAD frames decode through codebook id 0 (clipped) — callers should
+        slice to true lengths.
+        """
+        codec = np.asarray(codec)
+        ids = np.maximum(codec.astype(np.int32) - ID_OFFSET, 0).transpose(2, 0, 1)
+        wav = self._decode_jit(
+            jnp.asarray(ids), None if spk is None else jnp.asarray(spk)
+        )
+        return np.asarray(wav)
+
+    @property
+    def frames_per_second(self) -> float:
+        return self.cfg.sample_rate / self.hop  # 80.0
+
+    @property
+    def vocab_size_audio(self) -> int:
+        return self.cfg.codebook_size + ID_OFFSET
