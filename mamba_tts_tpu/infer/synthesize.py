@@ -1,0 +1,199 @@
+"""Synthesis entry point: text + style prompt + voice prompt -> waveform.
+
+The reference defines ``decode_step`` but ships NO synthesis driver
+(SURVEY §3.3: "no synthesize.py/infer.py — the full inference pipeline exists
+only as documented contracts").  Here it is a first-class, jit-compiled
+pipeline:
+
+    text --G2P--> phonemes --TextEncoder--> text_hidden
+    style prompt --BERT--> SMSD sample --> z_style
+    voice prompt --FACodec encode--> ref tokens --embed--> ref_hidden
+    duration predictor --> total frame budget
+    greedy/sampled lax.scan decode (zero host round-trips per token)
+    codec ids --FACodec decode--> waveform
+
+CLI:
+    python -m mamba_tts_tpu.infer.synthesize --text "hello world" \
+        --style_prompt "speak fast" --voice_wav prompt.wav --output out.wav \
+        [--checkpoint_dir checkpoints --config_json cfg.json]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_tts_tpu.audio.codec import FACodecTokenizer
+from mamba_tts_tpu.config import TTSConfig
+from mamba_tts_tpu.models.decoder import greedy_decode
+from mamba_tts_tpu.models.style_text_encoder import StyleTextEncoder
+from mamba_tts_tpu.models.tts import MambaTTS
+from mamba_tts_tpu.text.processor import PhonemeFrontend
+
+
+class Synthesizer:
+    """End-to-end TTS inference engine."""
+
+    def __init__(
+        self,
+        cfg: TTSConfig,
+        params,
+        tokenizer: Optional[FACodecTokenizer] = None,
+        frontend: Optional[PhonemeFrontend] = None,
+        style_encoder: Optional[StyleTextEncoder] = None,
+    ):
+        self.cfg = cfg
+        self.model = MambaTTS(cfg)
+        from mamba_tts_tpu.models.decoder import MambaTTSDecoder
+
+        self.decoder = MambaTTSDecoder(cfg.decoder.with_mamba_dims())
+        self.params = params
+        self.tokenizer = tokenizer or FACodecTokenizer(cfg.codec)
+        self.frontend = frontend or PhonemeFrontend(vocab_path=cfg.data.phoneme_vocab_path)
+        self.style_encoder = style_encoder or StyleTextEncoder(cfg.style_encoder)
+        self._decode_cache = {}
+
+    # ------------------------------------------------------------- pipeline
+
+    def _decode_fn(self, frames_per_stream: int, temperature: float):
+        key = (frames_per_stream, temperature)
+        if key not in self._decode_cache:
+            model, decoder = self.model, self.decoder
+
+            @jax.jit
+            def run(params, phoneme_ids, text_mask, style_bert, voice_codec, rng):
+                mvars = {"params": params}
+                text_hidden = model.apply(mvars, phoneme_ids, text_mask, method=MambaTTS.encode_text)
+                z_style = model.apply(mvars, style_bert, rng, method=MambaTTS.sample_style)
+                ref_hidden, ref_mask = model.apply(mvars, voice_codec, method=MambaTTS.embed_voice)
+                res = greedy_decode(
+                    decoder,
+                    {"params": params["decoder"]},
+                    text_hidden,
+                    z_style,
+                    frames_per_stream,
+                    text_mask=text_mask,
+                    ref_hidden=ref_hidden,
+                    ref_mask=ref_mask,
+                    temperature=temperature,
+                    rng=rng,
+                )
+                return res.tokens
+
+            self._decode_cache[key] = run
+        return self._decode_cache[key]
+
+    def predict_frames(self, phoneme_ids, text_mask) -> int:
+        """Frame budget from the duration predictor (sum of exp(log_dur))."""
+        mvars = {"params": self.params}
+        text_hidden = self.model.apply(
+            mvars, jnp.asarray(phoneme_ids), jnp.asarray(text_mask), method=MambaTTS.encode_text
+        )
+        log_dur = self.model.apply(
+            mvars, text_hidden, jnp.asarray(text_mask), method=MambaTTS.predict_durations
+        )
+        frames = float(jnp.exp(log_dur).sum(axis=1).max())
+        return int(np.clip(frames, 8, self.cfg.codec.max_seq_len))
+
+    def synthesize(
+        self,
+        text: str,
+        style_prompt: str,
+        voice_wav,
+        frames: Optional[int] = None,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, dict]:
+        """Returns (waveform (T,) float32 @16 kHz, info dict)."""
+        t0 = time.perf_counter()
+        phoneme_ids, _, text_mask = self.frontend.encode_batch(
+            [text], pad_to=self.cfg.data.max_text_len
+        )
+        style_bert = np.asarray(self.style_encoder.embed([style_prompt]))
+        voice_codec, _, _ = self.tokenizer.encode_with_lengths([voice_wav])
+        if frames is None:
+            frames = self.predict_frames(phoneme_ids, text_mask)
+        # Static-shape buckets for the decode scan (bounded recompiles).
+        frames = int(min(-(-frames // 64) * 64, self.cfg.codec.max_seq_len))
+
+        run = self._decode_fn(frames, temperature)
+        tokens = run(
+            self.params,
+            jnp.asarray(phoneme_ids),
+            jnp.asarray(text_mask),
+            jnp.asarray(style_bert),
+            jnp.asarray(voice_codec),
+            jax.random.PRNGKey(seed),
+        )
+        tokens = np.asarray(jax.device_get(tokens))  # (1, Q*frames)
+        Q = self.cfg.decoder.num_quantizers
+        codec = tokens.reshape(1, Q, frames).transpose(0, 2, 1)  # (1, frames, Q)
+        wav = self.tokenizer.decode(codec)[0]
+        wall = time.perf_counter() - t0
+        info = {
+            "frames": frames,
+            "tokens": int(Q * frames),
+            "audio_seconds": frames / self.tokenizer.frames_per_second,
+            "wall_seconds": wall,
+            "rtf": wall / (frames / self.tokenizer.frames_per_second),
+        }
+        return wav, info
+
+
+def load_synthesizer(
+    cfg: TTSConfig, checkpoint_dir: Optional[str] = None, seed: int = 0
+) -> Synthesizer:
+    """Build a Synthesizer from a checkpoint (or fresh init)."""
+    from mamba_tts_tpu.train import state as state_lib
+    from mamba_tts_tpu.train.train import build_model, init_params
+
+    model = build_model(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(seed))
+    if checkpoint_dir is not None:
+        tx = state_lib.make_optimizer(cfg.train.lr, cfg.train.grad_clip_norm)
+        st = state_lib.create_train_state(params, tx)
+        st, restored = state_lib.restore_checkpoint(checkpoint_dir, st)
+        if restored:
+            params = st.params
+    return Synthesizer(cfg, params)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--text", type=str, required=True)
+    parser.add_argument("--style_prompt", type=str, default="speak in a neutral voice")
+    parser.add_argument("--voice_wav", type=str, required=True)
+    parser.add_argument("--output", type=str, default="synthesized.wav")
+    parser.add_argument("--checkpoint_dir", type=str, default=None)
+    parser.add_argument("--config_json", type=str, default=None)
+    parser.add_argument("--frames", type=int, default=None)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from mamba_tts_tpu import config as config_lib
+
+    cfg = (
+        config_lib.from_json(open(args.config_json).read())
+        if args.config_json
+        else TTSConfig()
+    )
+    synth = load_synthesizer(cfg, args.checkpoint_dir, args.seed)
+    wav, info = synth.synthesize(
+        args.text, args.style_prompt, args.voice_wav,
+        frames=args.frames, temperature=args.temperature, seed=args.seed,
+    )
+    from mamba_tts_tpu.audio.wavio import write_wav
+
+    write_wav(args.output, wav, cfg.codec.sample_rate)
+    print(info)
+    print(f"wrote {args.output}: {info['audio_seconds']:.2f}s audio, RTF {info['rtf']:.3f}")
+
+
+if __name__ == "__main__":
+    main()

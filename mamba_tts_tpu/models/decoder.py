@@ -172,9 +172,17 @@ class MambaTTSDecoder(nn.Module):
         text_mask: Optional[jax.Array] = None,
         ref_hidden: Optional[jax.Array] = None,
         ref_mask: Optional[jax.Array] = None,
+        quant_ids: Optional[jax.Array] = None,
+        pos_ids: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """``quant_ids`` / ``pos_ids`` override the automatic per-slot ids —
+        used for shifted teacher forcing, where the input sequence
+        [BOS, y_0..y_{L-2}] must be embedded with the slot ids of the full
+        (Q, T) grid rather than a fresh arange."""
         c = self.cfg
-        flat, quant_ids, pos_ids = self._flatten_ids(audio_tokens)
+        flat, auto_quant, auto_pos = self._flatten_ids(audio_tokens)
+        quant_ids = auto_quant if quant_ids is None else quant_ids
+        pos_ids = auto_pos if pos_ids is None else pos_ids
         memory, memory_mask = self._build_memory(text_hidden, text_mask, ref_hidden, ref_mask)
         x = self.token_embed(flat) + self.pos_embed(pos_ids) + self.quant_embed(quant_ids)
         for layer in self.layers:

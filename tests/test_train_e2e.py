@@ -1,0 +1,139 @@
+"""End-to-end training/synthesis integration tests on synthetic data
+(SURVEY §4d: CPU-runnable end-to-end smoke on synthetic data)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_tts_tpu import config as cl
+from mamba_tts_tpu.models.tts import MambaTTS, codec_ce_loss, heuristic_durations
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return cl.from_json(open("tests/smoke_config.json").read())
+
+
+def _fake_batch(cfg, B=2, L=12, S=16, seed=0):
+    Q = cfg.decoder.num_quantizers
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    return {
+        "phoneme_ids": jax.random.randint(ks[0], (B, L), 1, cfg.text_encoder.vocab_size),
+        "text_mask": jnp.ones((B, L), bool),
+        "style_bert": jax.random.normal(ks[1], (B, cfg.smsd.bert_dim)),
+        "spk_embs": jax.random.normal(ks[2], (B, cfg.smsd.style_dim)),
+        "target_codec": jax.random.randint(ks[3], (B, S, Q), 2, cfg.decoder.vocab_size_audio),
+        "target_frames": jnp.full((B,), S, jnp.int32),
+        "voice_codec": jax.random.randint(ks[4], (B, S, Q), 2, cfg.decoder.vocab_size_audio),
+    }
+
+
+def test_heuristic_durations():
+    mask = jnp.array([[True] * 4, [True] * 2 + [False] * 2])
+    frames = jnp.array([20, 9])
+    dur = heuristic_durations(mask, frames)
+    np.testing.assert_array_equal(np.asarray(dur), [[5, 5, 5, 5], [4, 4, 0, 0]])
+
+
+def test_codec_ce_loss_ignores_pad():
+    logits = jnp.zeros((1, 4, 5))
+    targets = jnp.array([[2, 3, 0, 0]])  # two PAD
+    loss = codec_ce_loss(logits, targets)
+    np.testing.assert_allclose(float(loss), np.log(5.0), rtol=1e-5)
+
+
+def test_compute_losses_and_grads(tiny_cfg):
+    model = MambaTTS(tiny_cfg)
+    batch = _fake_batch(tiny_cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2)}
+    variables = model.init(
+        rngs, batch, jax.random.PRNGKey(3), use_nar_branch=True,
+        method=MambaTTS.compute_losses,
+    )
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params}, batch, jax.random.PRNGKey(3), deterministic=True,
+            method=MambaTTS.compute_losses,
+        )
+        return out["loss_total"], out
+
+    (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(loss))
+    for k in ("loss_codec", "loss_dur", "loss_smsd"):
+        assert np.isfinite(float(parts[k])), k
+    # gradients reach every trainable component
+    for comp in ("text_encoder", "dur_predictor", "smsd", "decoder"):
+        gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads[comp]))
+        assert gnorm > 0, f"no gradient in {comp}"
+    # style_pipe is excluded from the default train graph (NAR branch gated
+    # off; its reference counterpart gets zero grads anyway)
+    assert "style_pipe" in variables["params"]
+
+
+def test_train_step_overfits_fixed_batch(tiny_cfg):
+    """A few Adam steps on one batch must reduce the codec CE loss."""
+    from mamba_tts_tpu.train import state as state_lib
+    from mamba_tts_tpu.train.train import init_params, make_train_step
+
+    model = MambaTTS(tiny_cfg)
+    params = init_params(model, tiny_cfg, jax.random.PRNGKey(0))
+    tx = state_lib.make_optimizer(1e-3)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx)
+    batch = _fake_batch(tiny_cfg, S=8)
+    losses0 = None
+    rng = jax.random.PRNGKey(7)
+    for i in range(8):
+        params, opt_state, losses = step(params, opt_state, batch, rng)  # fixed rng
+        if losses0 is None:
+            losses0 = losses
+    assert float(losses["loss_codec"]) < float(losses0["loss_codec"])
+
+
+def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
+    from mamba_tts_tpu.train import state as state_lib
+    from mamba_tts_tpu.train.train import init_params
+
+    model = MambaTTS(tiny_cfg)
+    params = init_params(model, tiny_cfg, jax.random.PRNGKey(0))
+    tx = state_lib.make_optimizer(1e-4)
+    st = state_lib.create_train_state(params, tx)
+    st = st.replace(step=5)
+    state_lib.save_checkpoint(str(tmp_path / "ck"), st)
+
+    params2 = init_params(model, tiny_cfg, jax.random.PRNGKey(99))  # different init
+    st2 = state_lib.create_train_state(params2, tx)
+    st2, restored = state_lib.restore_checkpoint(str(tmp_path / "ck"), st2)
+    assert restored and st2.step == 5
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_missing_dir_is_noop(tiny_cfg, tmp_path):
+    from mamba_tts_tpu.train import state as state_lib
+    from mamba_tts_tpu.train.train import init_params
+
+    model = MambaTTS(tiny_cfg)
+    params = init_params(model, tiny_cfg, jax.random.PRNGKey(0))
+    st = state_lib.create_train_state(params, state_lib.make_optimizer(1e-4))
+    st2, restored = state_lib.restore_checkpoint(str(tmp_path / "nope"), st)
+    assert not restored and st2.step == 0
+
+
+def test_synthesizer_end_to_end(tiny_cfg):
+    from mamba_tts_tpu.infer.synthesize import load_synthesizer
+
+    synth = load_synthesizer(tiny_cfg)
+    t = np.arange(3200) / 16000.0
+    voice = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav, info = synth.synthesize("hello world", "speak fast", voice, frames=64)
+    # frames are bucketed to multiples of 64 for static decode shapes
+    assert info["frames"] == 64
+    assert wav.shape == (64 * tiny_cfg.codec.hop_length,)
+    assert np.isfinite(wav).all()
+    assert info["tokens"] == 64 * tiny_cfg.decoder.num_quantizers
+    # deterministic greedy decode
+    wav2, _ = synth.synthesize("hello world", "speak fast", voice, frames=64)
+    np.testing.assert_allclose(wav, wav2, atol=1e-6)
