@@ -202,7 +202,7 @@ def selective_scan(
     ``use_pallas`` selects the fused Pallas TPU kernel when available;
     otherwise the chunked XLA scan (which XLA fuses well) is used.
     """
-    if use_pallas:
+    if use_pallas and jax.default_backend() == "tpu":
         from mamba_tts_tpu.ops.pallas_scan import selective_scan_pallas
 
         return selective_scan_pallas(u, delta, A, B, C, D, h0=h0, chunk=chunk)
