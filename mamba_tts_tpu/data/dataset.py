@@ -36,18 +36,35 @@ class VccmTTSDataset:
         audio_root: str = "TextrolSpeech_data.tar.gz",
         sample_rate: int = 16000,
         seed: int = 0,
+        use_native: bool = True,
     ):
         self.csv_path = csv_path
         self.audio_root = audio_root
         self.sample_rate = sample_rate
         self._rng = np.random.RandomState(seed)
 
-        self.tar = tarfile.open(audio_root, "r:*")
-        self.members: Dict[str, tarfile.TarInfo] = {
-            m.name: m
-            for m in self.tar.getmembers()
-            if m.isfile() and m.name.endswith(".wav")
-        }
+        # Prefer the C++ runtime (native/libttsdata.so: indexed tar + WAV
+        # decode + resample, multi-threaded); fall back to tarfile + scipy.
+        self._native = None
+        if use_native:
+            from mamba_tts_tpu.data import native
+
+            if native.available():
+                try:
+                    self._native = native.NativeTarReader(audio_root)
+                except Exception:
+                    self._native = None
+
+        if self._native is not None:
+            self.tar = None
+            self.members = {n: n for n in self._native.names()}
+        else:
+            self.tar = tarfile.open(audio_root, "r:*")
+            self.members = {
+                m.name: m
+                for m in self.tar.getmembers()
+                if m.isfile() and m.name.endswith(".wav")
+            }
         with open(csv_path, encoding="utf-8") as f:
             rows = list(csv.DictReader(f))
 
@@ -68,8 +85,10 @@ class VccmTTSDataset:
         return str(Path(item_name.replace("-", "/")).with_suffix(".wav"))
 
     def _wav(self, item_name: str) -> np.ndarray:
-        member = self.members[self._member_name(item_name)]
-        data = self.tar.extractfile(member).read()
+        name = self._member_name(item_name)
+        if self._native is not None:
+            return self._native.read_wav(name, target_sr=self.sample_rate)
+        data = self.tar.extractfile(self.members[name]).read()
         wav, _ = read_wav_mono(data, target_sr=self.sample_rate)
         return wav
 
