@@ -56,12 +56,21 @@ class DecoderLayer(nn.Module):
         self.ff1 = nn.Dense(c.d_ff, dtype=dt, name="ff1")
         self.ff2 = nn.Dense(c.d_model, dtype=dt, name="ff2")
 
-    def _film_ffn(self, x: jax.Array, z_style: jax.Array) -> jax.Array:
-        h = self.norm_ff(x)
+    def film_params(self, z_style: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """z_style -> (gamma, beta); constant during decoding, so the decode
+        scan precomputes it once per synthesis instead of per token."""
         gamma_beta = jnp.tanh(self.style_mlp(z_style))  # (B, 2*d_model)
         gamma, beta = jnp.split(gamma_beta, 2, axis=-1)
+        return gamma, beta
+
+    def _film_ffn_with(self, x: jax.Array, gamma: jax.Array, beta: jax.Array) -> jax.Array:
+        h = self.norm_ff(x)
         h = gamma[:, None, :] * h + beta[:, None, :]
         return self.ff2(nn.gelu(self.ff1(h)))
+
+    def _film_ffn(self, x: jax.Array, z_style: jax.Array) -> jax.Array:
+        gamma, beta = self.film_params(z_style)
+        return self._film_ffn_with(x, gamma, beta)
 
     def __call__(
         self,
@@ -85,15 +94,16 @@ class DecoderLayer(nn.Module):
         x: jax.Array,
         K: jax.Array,
         V: jax.Array,
-        z_style: jax.Array,
+        film: Tuple[jax.Array, jax.Array],
         memory_mask: Optional[jax.Array],
         mamba_state: MambaState,
     ) -> Tuple[jax.Array, MambaState]:
-        """One-token layer step with precomputed memory K/V. x: (B, 1, d)."""
+        """One-token layer step with precomputed memory K/V and FiLM params.
+        x: (B, 1, d)."""
         h, new_state = self.mamba.step(self.norm_mamba(x), mamba_state)
         x = x + h
         x = x + self.cross_attn.attend(self.norm_cross(x), K, V, memory_mask)
-        x = x + self._film_ffn(x, z_style)
+        x = x + self._film_ffn_with(x, *film)
         return x, new_state
 
 
@@ -214,7 +224,7 @@ class MambaTTSDecoder(nn.Module):
         x = self._embed_step(last_token, step_index, frames_per_stream)
         new_states = []
         for layer, (K, V), st in zip(self.layers, KV, mamba_states):
-            x, ns = layer.step(x, K, V, z_style, memory_mask, st)
+            x, ns = layer.step(x, K, V, layer.film_params(z_style), memory_mask, st)
             new_states.append(ns)
         logits = self.head(self.norm_out(x).astype(jnp.float32))
         return logits, new_states
@@ -230,27 +240,36 @@ class MambaTTSDecoder(nn.Module):
             + self.quant_embed(q_id[None, None] if q_id.ndim == 0 else q_id)
         )
 
-    def project_memories(self, text_hidden, text_mask=None, ref_hidden=None, ref_mask=None):
-        """Precompute per-layer (K, V) + mask for the jitted decode scan."""
+    def project_memories(
+        self, text_hidden, text_mask=None, ref_hidden=None, ref_mask=None, z_style=None
+    ):
+        """Precompute everything constant across decode steps: per-layer
+        memory (K, V), the memory mask, and (when ``z_style`` is given) the
+        per-layer FiLM (gamma, beta)."""
         memory, memory_mask = self._build_memory(text_hidden, text_mask, ref_hidden, ref_mask)
         KV = [layer.project_memory(memory) for layer in self.layers]
-        return KV, memory_mask
+        films = (
+            [layer.film_params(z_style) for layer in self.layers]
+            if z_style is not None
+            else None
+        )
+        return KV, memory_mask, films
 
     def step_with_kv(
         self,
         last_token: jax.Array,
         KV: Sequence[Tuple[jax.Array, jax.Array]],
         memory_mask: Optional[jax.Array],
-        z_style: jax.Array,
+        films: Sequence[Tuple[jax.Array, jax.Array]],
         mamba_states: Sequence[MambaState],
         step_index: jax.Array,
         frames_per_stream: int,
     ) -> Tuple[jax.Array, List[MambaState]]:
-        """Decode step against precomputed memory K/V (scan body)."""
+        """Decode step against precomputed memory K/V + FiLM (scan body)."""
         x = self._embed_step(last_token, step_index, frames_per_stream)
         new_states = []
-        for layer, (K, V), st in zip(self.layers, KV, mamba_states):
-            x, ns = layer.step(x, K, V, z_style, memory_mask, st)
+        for layer, (K, V), film, st in zip(self.layers, KV, films, mamba_states):
+            x, ns = layer.step(x, K, V, film, memory_mask, st)
             new_states.append(ns)
         logits = self.head(self.norm_out(x).astype(jnp.float32))
         return logits, new_states
@@ -294,12 +313,13 @@ def greedy_decode(
     Q = num_streams if num_streams is not None else c.num_quantizers
     total = Q * frames_per_stream
 
-    KV, memory_mask = decoder.apply(
+    KV, memory_mask, films = decoder.apply(
         variables,
         text_hidden,
         text_mask,
         ref_hidden,
         ref_mask,
+        z_style,
         method=MambaTTSDecoder.project_memories,
     )
     states0 = decoder.init_states(B)
@@ -314,7 +334,7 @@ def greedy_decode(
             token,
             KV,
             memory_mask,
-            z_style,
+            films,
             states,
             step,
             frames_per_stream,
