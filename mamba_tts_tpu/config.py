@@ -68,6 +68,7 @@ class DecoderConfig:
     dtype: str = "bfloat16"  # compute dtype; params + accumulation are f32
     scan_chunk: int = 64  # time-chunk for the chunked selective scan
     use_pallas: bool = False  # use Pallas kernels for the selective scan
+    remat: bool = False  # jax.checkpoint each decoder layer (activation memory)
 
     pad_id: int = 0
     bos_id: int = 1

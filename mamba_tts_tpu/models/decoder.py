@@ -126,7 +126,11 @@ class MambaTTSDecoder(nn.Module):
         self.token_embed = nn.Embed(c.vocab_size_audio, c.d_model, dtype=dt, name="token_embed")
         self.pos_embed = nn.Embed(c.max_len, c.d_model, dtype=dt, name="pos_embed")
         self.quant_embed = nn.Embed(c.num_quantizers, c.d_model, dtype=dt, name="quant_embed")
-        self.layers = [DecoderLayer(c, name=f"layer_{i}") for i in range(c.n_layers)]
+        # Optional rematerialization: trade FLOPs for activation memory in
+        # the teacher-forcing backward (decode paths call .step and are
+        # unaffected).
+        layer_cls = nn.remat(DecoderLayer) if c.remat else DecoderLayer
+        self.layers = [layer_cls(c, name=f"layer_{i}") for i in range(c.n_layers)]
         self.norm_out = nn.LayerNorm(dtype=dt, name="norm_out")
         self.head = nn.Dense(c.vocab_size_audio, dtype=jnp.float32, name="head")
 

@@ -204,3 +204,50 @@ class SMSD(nn.Module):
         return sample_mixture(
             rng, pi, mu, sigma, self.cfg.variance_mode, self.cfg.fixed_std
         )
+
+
+class SMSDPipeline:
+    """Host-side convenience wrapper with the reference's call signature
+    (reference: smsd.py:90-125): raw style-prompt strings in, loss / sampled
+    style vectors out.  Composes the frozen style-text encoder with the MDN
+    head; inside jitted training use the split pieces directly."""
+
+    def __init__(self, cfg: SMSDConfig, style_encoder=None, params=None, seed: int = 0):
+        import numpy as np
+
+        from mamba_tts_tpu.config import StyleEncoderConfig
+        from mamba_tts_tpu.models.style_text_encoder import StyleTextEncoder
+
+        self.cfg = cfg
+        if style_encoder is not None:
+            self.encoder = style_encoder
+        elif cfg.bert_dim == 768:
+            self.encoder = StyleTextEncoder(StyleEncoderConfig())
+        else:
+            heads = next(h for h in (12, 8, 4, 2, 1) if cfg.bert_dim % h == 0)
+            self.encoder = StyleTextEncoder(
+                StyleEncoderConfig(
+                    d_model=cfg.bert_dim, n_layers=2, n_heads=heads,
+                    d_ff=4 * cfg.bert_dim,
+                )
+            )
+        self.module = SMSD(cfg)
+        if params is None:
+            x = jnp.zeros((1, cfg.bert_dim))
+            params = self.module.init(jax.random.PRNGKey(seed), x)["params"]
+        self.params = params
+
+    def __call__(self, style_texts, y_true=None, return_params: bool = False, seed: int = 0):
+        if isinstance(style_texts, str):
+            style_texts = [style_texts]
+        x = self.encoder.embed(style_texts)
+        mvars = {"params": self.params}
+        if y_true is not None:
+            return self.module.apply(
+                mvars, x, jnp.asarray(y_true), deterministic=True, method=SMSD.loss
+            )
+        rng = jax.random.PRNGKey(seed)
+        y = self.module.apply(mvars, x, rng, method=SMSD.sample)
+        if return_params:
+            return y, self.module.apply(mvars, x)
+        return y
