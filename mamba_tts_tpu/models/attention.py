@@ -22,10 +22,39 @@ import jax.numpy as jnp
 _NEG_INF = -1e9
 
 
+def _flash_attend(q, K, V, memory_mask, scale):
+    """Flash (streamed-softmax) attention via the TPU Pallas kernel shipped
+    with jax.  Never materializes the (B, H, Tq, Tk) logits — the naive path
+    costs ~6.3 GB f32 per layer at flagship training shapes (B=8, Tq=5120,
+    Tk≈5200), which OOMs 16 GB HBM across 8 layers.  Padding keys/queries to
+    block multiples; padding is masked via segment ids."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    B, H, Tq, hd = q.shape
+    Tk = K.shape[2]
+    BLOCK = 512
+    Tq_p = -(-Tq // BLOCK) * BLOCK if Tq >= BLOCK else Tq
+    Tk_p = -(-Tk // BLOCK) * BLOCK
+    if memory_mask is None:
+        memory_mask = jnp.ones((B, Tk), bool)
+    q_p = jnp.pad(q, ((0, 0), (0, 0), (0, Tq_p - Tq), (0, 0)))
+    K_p = jnp.pad(K, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, 0)))
+    V_p = jnp.pad(V, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, 0)))
+    kv_seg = jnp.pad(memory_mask.astype(jnp.int32), ((0, 0), (0, Tk_p - Tk)))
+    q_seg = jnp.ones((B, Tq_p), jnp.int32)
+    out = fa.flash_attention(
+        q_p, K_p, V_p,
+        segment_ids=fa.SegmentIds(q=q_seg, kv=kv_seg),
+        sm_scale=float(scale),
+    )
+    return out[:, :, :Tq]
+
+
 class CrossAttention(nn.Module):
     d_model: int
     n_heads: int
     dtype: jnp.dtype = jnp.bfloat16
+    use_flash: bool = True  # flash kernel for long-query attention on TPU
 
     def setup(self):
         assert self.d_model % self.n_heads == 0
@@ -53,15 +82,19 @@ class CrossAttention(nn.Module):
         """x: (B, Tq, d_model) queries against precomputed K/V."""
         B, Tq, _ = x.shape
         q = self._split(self.q_proj(x))  # (B, H, Tq, hd)
-        scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, K, preferred_element_type=jnp.float32
-        ) * scale
-        if memory_mask is not None:
-            bias = jnp.where(memory_mask[:, None, None, :], 0.0, _NEG_INF)
-            logits = logits + bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(V.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, V)
+        scale = self.head_dim ** -0.5
+        if self.use_flash and Tq >= 128 and jax.default_backend() == "tpu":
+            out = _flash_attend(q, K, V, memory_mask, scale)
+        else:
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, K, preferred_element_type=jnp.float32
+            ) * scale
+            if memory_mask is not None:
+                bias = jnp.where(memory_mask[:, None, None, :], 0.0, _NEG_INF)
+                logits = logits + bias
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1).astype(V.dtype), V
+            )
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
         return self.o_proj(out)
 
