@@ -73,6 +73,28 @@ def test_batch_sharding():
 
 
 @needs_8
+def test_sequence_parallel_scan_matches_reference():
+    """Context parallelism for the SSM: time axis sharded over 8 devices,
+    boundary states handed across shards (SURVEY §5 long-context row)."""
+    from mamba_tts_tpu.ops.selective_scan import selective_scan_ref
+    from mamba_tts_tpu.parallel.sp_scan import sp_selective_scan
+
+    mesh = make_mesh((8,), ("data",))
+    Bz, T, D, N = 2, 64, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    u = jax.random.normal(ks[0], (Bz, T, D))
+    delta = jax.nn.softplus(jax.random.normal(ks[1], (Bz, T, D)) - 1)
+    A = -jnp.exp(jax.random.normal(ks[2], (D, N)))
+    B = jax.random.normal(ks[3], (Bz, T, N))
+    C = jax.random.normal(ks[4], (Bz, T, N))
+    Dk = jax.random.normal(ks[5], (D,))
+    y_ref, h_ref = selective_scan_ref(u, delta, A, B, C, Dk)
+    y_sp, h_sp = sp_selective_scan(u, delta, A, B, C, Dk, mesh=mesh, chunk=8)
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h_sp), np.asarray(h_ref), rtol=2e-4, atol=2e-4)
+
+
+@needs_8
 def test_full_train_step_on_mesh():
     """The graft-entry multichip dry run as a pytest (full MambaTTS step)."""
     import __graft_entry__ as g
