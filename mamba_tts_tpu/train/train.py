@@ -75,7 +75,7 @@ def make_train_step(model: MambaTTS, tx, use_nar_branch: bool = False):
         )
         return losses["loss_total"], losses
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
         drop_rng, noise_rng, sample_rng = jax.random.split(rng, 3)
         rngs = {"dropout": drop_rng, "noise": noise_rng}
