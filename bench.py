@@ -57,9 +57,13 @@ def main():
     variables = {"params": _cast_params_bf16(variables["params"])}
 
     def decode(variables, text_hidden, z_style, text_mask, ref_hidden, ref_mask):
+        # unroll=4 wins at B=1 (weight-streaming overlap); batched decode is
+        # KV-bound and prefers no unrolling.
+        unroll = 4 if text_hidden.shape[0] == 1 else 1
         return greedy_decode(
             dec, variables, text_hidden, z_style, F,
             text_mask=text_mask, ref_hidden=ref_hidden, ref_mask=ref_mask,
+            unroll=unroll,
         ).tokens
 
     decode_jit = jax.jit(decode)
