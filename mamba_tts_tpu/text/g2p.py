@@ -173,9 +173,43 @@ _VOWELS = set("aeiou")
 _LONG_VOWEL = {"a": "EY1", "e": "IY1", "i": "AY1", "o": "OW1", "u": "UW1"}
 
 
+_SUFFIXES = [
+    ("ing", ["IH0", "NG"]),
+    ("ness", ["N", "AH0", "S"]),
+    ("ment", ["M", "AH0", "N", "T"]),
+    ("able", ["AH0", "B", "AH0", "L"]),
+    ("ful", ["F", "AH0", "L"]),
+    ("less", ["L", "AH0", "S"]),
+    ("ly", ["L", "IY0"]),
+]
+
+
+def _collapse_doubles(word: str) -> str:
+    """Collapse doubled consonants (hello -> helo) — one sound in English."""
+    out = [word[0]] if word else []
+    for ch in word[1:]:
+        if ch == out[-1] and ch not in _VOWELS:
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
 def rule_g2p(word: str) -> List[str]:
     """Deterministic letter-to-sound fallback producing ARPAbet."""
-    word = word.lower()
+    word = _collapse_doubles(word.lower())
+    # Peel common suffixes so the stem keeps its own rules (magic-e etc).
+    for suf, phones_suf in _SUFFIXES:
+        stem = word[: -len(suf)]
+        if word.endswith(suf) and len(stem) >= 3:
+            return _fix_stress(rule_g2p(stem) + phones_suf)
+    if word.endswith("es") and len(word) > 4:
+        return _fix_stress(rule_g2p(word[:-2]) + ["IH0", "Z"])
+    if word.endswith("ed") and len(word) > 4:
+        return _fix_stress(rule_g2p(word[:-2]) + ["D"])
+    if word.endswith("s") and len(word) > 3 and word[-2] not in "sue":
+        base = rule_g2p(word[:-1])
+        voiced_end = not base or base[-1] not in ("P", "T", "K", "F", "TH")
+        return _fix_stress(base + (["Z"] if voiced_end else ["S"]))
     # Magic-e: CVCe -> long vowel, silent e.
     if (
         len(word) >= 3
