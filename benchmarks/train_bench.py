@@ -1,0 +1,79 @@
+"""Training-step throughput benchmark (reproduces README perf numbers).
+
+    python benchmarks/train_bench.py [--batch 8] [--target_frames 512]
+        [--voice_frames 256] [--no_pallas]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--target_frames", type=int, default=512)
+    parser.add_argument("--voice_frames", type=int, default=256)
+    parser.add_argument("--text_len", type=int, default=64)
+    parser.add_argument("--steps", type=int, default=4)
+    parser.add_argument("--no_pallas", action="store_true")
+    args = parser.parse_args()
+
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from mamba_tts_tpu import config as cl
+    from mamba_tts_tpu.models.tts import MambaTTS
+    from mamba_tts_tpu.train import state as state_lib
+    from mamba_tts_tpu.train.train import init_params, make_train_step
+
+    B, L, St, Sv = args.batch, args.text_len, args.target_frames, args.voice_frames
+    cfg = cl.TTSConfig(decoder=cl.DecoderConfig(use_pallas=not args.no_pallas))
+    Q = cfg.decoder.num_quantizers
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    batch = {
+        "phoneme_ids": jax.random.randint(ks[0], (B, L), 1, 79),
+        "text_mask": jnp.ones((B, L), bool),
+        "style_bert": jax.random.normal(ks[1], (B, cfg.smsd.bert_dim)),
+        "spk_embs": jax.random.normal(ks[2], (B, cfg.smsd.style_dim)),
+        "target_codec": jax.random.randint(ks[3], (B, St, Q), 2, cfg.decoder.vocab_size_audio),
+        "target_frames": jnp.full((B,), St, jnp.int32),
+        "voice_codec": jax.random.randint(ks[4], (B, Sv, Q), 2, cfg.decoder.vocab_size_audio),
+    }
+    model = MambaTTS(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    tx = state_lib.make_optimizer(cfg.train.lr, cfg.train.grad_clip_norm)
+    opt = tx.init(params)
+    step = make_train_step(model, tx)
+
+    t0 = time.perf_counter()
+    params, opt, losses = step(params, opt, batch, jax.random.PRNGKey(1))
+    print(f"compile+run {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        params, opt, losses = step(params, opt, batch, jax.random.PRNGKey(2))
+    loss = float(jax.device_get(losses["loss_total"]))
+    dt = (time.perf_counter() - t0) / args.steps
+    print(
+        json.dumps(
+            {
+                "ms_per_step": round(dt * 1e3, 1),
+                "train_tokens_per_sec": round(B * St * Q / dt, 1),
+                "loss": round(loss, 3),
+                "pallas": not args.no_pallas,
+                "batch": B,
+                "target_frames": St,
+                "voice_frames": Sv,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,62 @@ class Synthesizer:
         }
         return wav, info
 
+    def synthesize_batch(
+        self,
+        texts,
+        style_prompts,
+        voice_wavs,
+        frames: Optional[int] = None,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ):
+        """Batched serving path: lists of (text, style, voice prompt) decoded
+        in one jitted scan.  Returns (waveforms (B, T_audio), info).
+
+        Note: streaming (chunked) synthesis is intentionally NOT offered —
+        the reference's quantizer-major flattening emits the content stream
+        last, so no frame is vocodable before decoding finishes (reference:
+        audio_encoder.py:248-256).
+        """
+        assert len(texts) == len(style_prompts) == len(voice_wavs)
+        t0 = time.perf_counter()
+        phoneme_ids, _, text_mask = self.frontend.encode_batch(
+            list(texts), pad_to=self.cfg.data.max_text_len
+        )
+        style_bert = np.asarray(self.style_encoder.embed(list(style_prompts)))
+        voice_codec, _, _ = self.tokenizer.encode_with_lengths(list(voice_wavs))
+        if frames is None:
+            frames = self.predict_frames(phoneme_ids, text_mask)
+        frames = int(min(-(-frames // 64) * 64, self.cfg.codec.max_seq_len))
+
+        run = self._decode_fn(frames, temperature)
+        tokens = np.asarray(
+            jax.device_get(
+                run(
+                    self.params,
+                    jnp.asarray(phoneme_ids),
+                    jnp.asarray(text_mask),
+                    jnp.asarray(style_bert),
+                    jnp.asarray(voice_codec),
+                    jax.random.PRNGKey(seed),
+                )
+            )
+        )
+        B = len(texts)
+        Q = self.cfg.decoder.num_quantizers
+        codec = tokens.reshape(B, Q, frames).transpose(0, 2, 1)
+        wavs = self.tokenizer.decode(codec)
+        wall = time.perf_counter() - t0
+        audio_seconds = frames / self.tokenizer.frames_per_second
+        info = {
+            "frames": frames,
+            "tokens": int(B * Q * frames),
+            "audio_seconds": audio_seconds,
+            "wall_seconds": wall,
+            "tokens_per_sec": B * Q * frames / wall,
+        }
+        return wavs, info
+
 
 def load_synthesizer(
     cfg: TTSConfig, checkpoint_dir: Optional[str] = None, seed: int = 0
