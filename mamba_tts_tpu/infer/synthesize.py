@@ -202,11 +202,24 @@ class Synthesizer:
 
 
 def load_synthesizer(
-    cfg: TTSConfig, checkpoint_dir: Optional[str] = None, seed: int = 0
+    cfg: Optional[TTSConfig] = None, checkpoint_dir: Optional[str] = None, seed: int = 0
 ) -> Synthesizer:
-    """Build a Synthesizer from a checkpoint (or fresh init)."""
+    """Build a Synthesizer from a checkpoint (or fresh init).  When ``cfg``
+    is None and the checkpoint dir has a ``config.json`` (written by the
+    train CLI), the model self-configures from it."""
     from mamba_tts_tpu.train import state as state_lib
     from mamba_tts_tpu.train.train import build_model, init_params
+
+    if cfg is None:
+        import os
+
+        from mamba_tts_tpu import config as config_lib
+
+        cfg_path = os.path.join(checkpoint_dir or "", "config.json")
+        if checkpoint_dir is not None and os.path.exists(cfg_path):
+            cfg = config_lib.from_json(open(cfg_path).read())
+        else:
+            cfg = TTSConfig()
 
     model = build_model(cfg)
     params = init_params(model, cfg, jax.random.PRNGKey(seed))

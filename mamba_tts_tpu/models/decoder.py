@@ -302,6 +302,7 @@ def greedy_decode(
     ref_mask: Optional[jax.Array] = None,
     num_streams: Optional[int] = None,
     temperature: float = 0.0,
+    top_k: int = 0,
     rng: Optional[jax.Array] = None,
     collect_logits: bool = False,
     unroll: int = 4,
@@ -349,8 +350,12 @@ def greedy_decode(
         # Never emit the special PAD/BOS ids during synthesis.
         step_logits = step_logits.at[:, : c.num_special_tokens].set(-1e9)
         if temperature > 0.0:
+            sampling_logits = step_logits
+            if top_k > 0 and top_k < c.vocab_size_audio:
+                kth = jnp.sort(sampling_logits, axis=-1)[:, -top_k][:, None]
+                sampling_logits = jnp.where(sampling_logits >= kth, sampling_logits, -1e9)
             key, sub = jax.random.split(key)
-            nxt = jax.random.categorical(sub, step_logits / temperature, axis=-1)
+            nxt = jax.random.categorical(sub, sampling_logits / temperature, axis=-1)
         else:
             nxt = jnp.argmax(step_logits, axis=-1)
         nxt = nxt.astype(jnp.int32)[:, None]

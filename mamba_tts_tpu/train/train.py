@@ -151,6 +151,12 @@ def main(argv: Optional[list] = None):
     print(f"model: {n_params/1e6:.1f}M params")
     tx = state_lib.make_optimizer(cfg.train.lr, cfg.train.grad_clip_norm)
     train_state = state_lib.create_train_state(params, tx)
+    # Persist the config next to checkpoints so inference can self-configure.
+    from pathlib import Path
+
+    Path(args.checkpoint_dir).mkdir(parents=True, exist_ok=True)
+    with open(Path(args.checkpoint_dir) / "config.json", "w") as f:
+        f.write(config_lib.to_json(cfg))
     if args.resume:
         train_state, restored = state_lib.restore_checkpoint(args.checkpoint_dir, train_state)
         print(f"resume: {'restored step ' + str(train_state.step) if restored else 'no checkpoint found'}")
