@@ -188,8 +188,13 @@ class VectorQuantizer(nn.Module):
             + (codebook**2).sum(-1)[None, None, :]
         )
         ids = jnp.argmin(d, axis=-1)  # (B, T)
-        quant_down = codebook[ids].astype(down.dtype)
-        quant_down = down + jax.lax.stop_gradient(quant_down - down)  # ST
+        quant_raw = codebook[ids].astype(down.dtype)
+        # VQ-VAE training losses (sown; read via mutable=["losses"]):
+        # codebook term pulls codes to encodings, commitment term vice versa.
+        codebook_loss = ((quant_raw - jax.lax.stop_gradient(down)) ** 2).mean()
+        commit_loss = ((down - jax.lax.stop_gradient(quant_raw)) ** 2).mean()
+        self.sow("losses", "vq_loss", codebook_loss + 0.25 * commit_loss)
+        quant_down = down + jax.lax.stop_gradient(quant_raw - down)  # ST
         quant = nn.Dense(self.latent_dim, name="proj_out")(quant_down)
         return quant, ids
 

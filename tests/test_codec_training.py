@@ -1,0 +1,61 @@
+"""Codec training tests: reconstruction losses decrease; VQ losses sown."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_tts_tpu.audio.mel import mel_filterbank, multi_resolution_stft_loss, stft_magnitude
+from mamba_tts_tpu.config import CodecConfig
+from mamba_tts_tpu.models.facodec import FACodec
+from mamba_tts_tpu.train import state as state_lib
+from mamba_tts_tpu.train.train_codec import codec_loss_fn, make_codec_train_step
+
+TINY = CodecConfig(
+    ngf=4, up_ratios=(2, 4), latent_dim=16, codebook_size=10, codebook_dim=4,
+    spk_dim=8, max_seq_len=64, decoder_initial_channels=32,
+)
+
+
+def test_stft_and_mel_shapes():
+    wav = jnp.sin(jnp.linspace(0, 100, 2048))[None]
+    mag = stft_magnitude(wav, n_fft=512, hop=128)
+    assert mag.shape[0] == 1 and mag.shape[2] == 257
+    fb = mel_filterbank(16000, 512, n_mels=20)
+    assert fb.shape == (20, 257)
+    assert (fb.sum(axis=1) > 0).all()  # every filter has support
+
+
+def test_stft_loss_zero_for_identical():
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, 1024))
+    loss = multi_resolution_stft_loss(wav, wav, resolutions=((256, 64),))
+    assert float(loss) < 1e-5
+
+
+def test_vq_losses_are_sown():
+    model = FACodec(TINY)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (1, 128)) * 0.1
+    params = model.init(jax.random.PRNGKey(1), wav)["params"]
+    _, metrics = codec_loss_fn(model, params, wav, resolutions=((64, 16),))
+    assert float(metrics["loss_vq"]) > 0.0
+    assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_codec_overfits_fixed_batch():
+    """A few hundred Adam steps on one tone must reduce the spectral loss."""
+    model = FACodec(TINY)
+    t = jnp.arange(256) / 16000.0
+    wav = (0.5 * jnp.sin(2 * jnp.pi * 440 * 16000 / 256 * t))[None].astype(jnp.float32)
+    wav = jnp.tile(wav, (2, 1))
+    params = model.init(jax.random.PRNGKey(0), wav)["params"]
+    tx = state_lib.make_optimizer(3e-3)
+    opt = tx.init(params)
+    step = make_codec_train_step(model, tx, resolutions=((64, 16),), w_vq=0.1)
+    first = None
+    for i in range(100):
+        params, opt, metrics = step(params, opt, wav)
+        if first is None:
+            first = jax.device_get(metrics)
+    last = jax.device_get(metrics)
+    # total + spectral losses fall; raw-wave L1 may stall on phase (expected
+    # for a tiny codebook without adversarial training)
+    assert float(last["loss_total"]) < float(first["loss_total"])
+    assert float(last["loss_mel"]) < float(first["loss_mel"])
