@@ -1,0 +1,66 @@
+"""Metrics/profiling utilities and batched-synthesis tests."""
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from mamba_tts_tpu import config as cl
+from mamba_tts_tpu.utils.metrics import MetricsLogger
+from mamba_tts_tpu.utils.profiling import StepTimer, annotate
+
+
+def test_metrics_logger(tmp_path, capsys):
+    log_file = str(tmp_path / "m.jsonl")
+    m = MetricsLogger(log_file=log_file, stdout=True, window=4)
+    m.log(0, {"loss": 2.0}, tokens=100)
+    m.log(1, {"loss": 1.0}, tokens=100)
+    m.close()
+    lines = [json.loads(l) for l in open(log_file)]
+    assert lines[0]["step"] == 0 and lines[0]["loss"] == 2.0
+    assert "tokens_per_sec" in lines[1] and "step_time_s" in lines[1]
+    assert m.mean("loss") == 1.5
+    out = capsys.readouterr().out
+    assert '"loss":' in out.replace(" ", "")
+
+
+def test_step_timer():
+    import time
+
+    t = StepTimer(skip_first=1)
+    for _ in range(3):
+        with t:
+            time.sleep(0.01)
+    assert 0.005 < t.mean < 0.1
+    assert t.best <= t.mean + 1e-9
+
+
+def test_annotate_scope_runs():
+    with annotate("test_scope"):
+        x = jax.numpy.ones(4).sum()
+    assert float(x) == 4.0
+
+
+def test_distributed_helper_single_host():
+    from mamba_tts_tpu.parallel.distributed import initialize_multihost
+
+    info = initialize_multihost()
+    assert info["process_index"] == 0
+    assert info["global_devices"] >= 1
+
+
+def test_synthesize_batch(tmp_path):
+    from mamba_tts_tpu.infer.synthesize import load_synthesizer
+
+    cfg = cl.from_json(open("tests/smoke_config.json").read())
+    synth = load_synthesizer(cfg)
+    t = np.arange(3200) / 16000.0
+    voice = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wavs, info = synth.synthesize_batch(
+        ["hello world", "good day"], ["fast", "slow"], [voice, voice], frames=64
+    )
+    assert wavs.shape == (2, 64 * cfg.codec.hop_length)
+    assert np.isfinite(wavs).all()
+    assert info["tokens"] == 2 * 64 * cfg.decoder.num_quantizers
+    # rows differ (different text conditioning)
+    assert not np.allclose(wavs[0], wavs[1])
