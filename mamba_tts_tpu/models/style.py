@@ -152,3 +152,15 @@ class StyleConditioningPipeline(nn.Module):
         upsampled, output_lengths = length_regulate(styled_text, durations, max_frame_len)
         styled_frames = self.cross_attn_2(upsampled, style_K, style_V, deterministic)
         return styled_frames, output_lengths, style_K, style_V
+
+    def forward_with_target(
+        self,
+        text_hidden: jax.Array,
+        style_emb: jax.Array,
+        target_durations: jax.Array,
+        text_mask: Optional[jax.Array] = None,
+        max_frame_len: int = 1024,
+    ):
+        """Training mode with ground-truth (e.g. MFA) durations
+        (reference: style_cross_attention.py:200-212)."""
+        return self(text_hidden, style_emb, target_durations, text_mask, max_frame_len)

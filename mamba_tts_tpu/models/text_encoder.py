@@ -56,7 +56,13 @@ class _SelfAttention(nn.Module):
     dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array], deterministic: bool = True):
+    def __call__(
+        self,
+        x,
+        mask: Optional[jax.Array],
+        deterministic: bool = True,
+        return_attns: bool = False,
+    ):
         B, T, _ = x.shape
         H, dk, dv = self.n_heads, self.d_k, self.d_v
         q = nn.Dense(H * dk, dtype=self.dtype, name="w_q")(x).reshape(B, T, H, dk)
@@ -72,7 +78,7 @@ class _SelfAttention(nn.Module):
         out = nn.Dense(self.d_model, dtype=self.dtype, name="w_o")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(dtype=self.dtype)(out + x)
-        return out
+        return out, (probs if return_attns else None)
 
 
 class FFTBlock(nn.Module):
@@ -81,12 +87,18 @@ class FFTBlock(nn.Module):
     cfg: TextEncoderConfig
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array], deterministic: bool = True):
+    def __call__(
+        self,
+        x,
+        mask: Optional[jax.Array],
+        deterministic: bool = True,
+        return_attns: bool = False,
+    ):
         c = self.cfg
         dt = jnp.dtype(c.dtype)
-        x = _SelfAttention(
+        x, attn = _SelfAttention(
             c.d_model, c.n_heads, c.d_k, c.d_v, c.dropout, dt, name="attn"
-        )(x, mask, deterministic)
+        )(x, mask, deterministic, return_attns)
         if mask is not None:
             x = x * mask[..., None]
         res = x
@@ -97,7 +109,7 @@ class FFTBlock(nn.Module):
         x = nn.LayerNorm(dtype=dt)(h + res)
         if mask is not None:
             x = x * mask[..., None]
-        return x
+        return (x, attn) if return_attns else x
 
 
 class TextEncoder(nn.Module):
@@ -111,7 +123,10 @@ class TextEncoder(nn.Module):
         phoneme_ids: jax.Array,
         mask: Optional[jax.Array] = None,
         deterministic: bool = True,
-    ) -> jax.Array:
+        return_attns: bool = False,
+    ):
+        """(B, T) ids -> (B, T, d_model); with ``return_attns`` also the
+        per-layer self-attention maps (reference: text_encoder.py:87-128)."""
         c = self.cfg
         dt = jnp.dtype(c.dtype)
         emb = nn.Embed(c.vocab_size, c.d_model, dtype=dt, name="phoneme_emb")(phoneme_ids)
@@ -120,8 +135,15 @@ class TextEncoder(nn.Module):
         T = phoneme_ids.shape[1]
         pos = jnp.asarray(sinusoid_position_table(T, c.d_model), dt)
         x = emb + pos[None]
+        attns = []
         for i in range(c.n_layers):
-            x = FFTBlock(c, name=f"fft_{i}")(x, mask, deterministic)
+            if return_attns:
+                x, attn = FFTBlock(c, name=f"fft_{i}")(x, mask, deterministic, True)
+                attns.append(attn)
+            else:
+                x = FFTBlock(c, name=f"fft_{i}")(x, mask, deterministic)
+        if return_attns:
+            return x, attns
         return x
 
 

@@ -133,6 +133,33 @@ class TextProcessor:
             phonemes = phonemes[:max_length]
         return self.phonemes_to_ids(phonemes), phonemes
 
+    def create_phoneme_embedding(self, embedding_dim: int, padding_idx: Optional[int] = None):
+        """Build a phoneme embedding table (vocab_size, dim) with the pad row
+        zeroed (reference: text_encoder.py:349-367's nn.Embedding role).
+        Returns a float32 numpy array usable as a flax Embed init."""
+        if padding_idx is None:
+            padding_idx = self.padding_id
+        rng = np.random.RandomState(0)
+        table = (rng.randn(self.vocab_size, embedding_dim) / np.sqrt(embedding_dim)).astype(
+            np.float32
+        )
+        table[padding_idx] = 0.0
+        return table
+
+    def create_positional_encoding(
+        self, max_length: int, embedding_dim: int, padding_idx: Optional[int] = None
+    ) -> np.ndarray:
+        """Sinusoidal positional table (reference: text_encoder.py:369-384),
+        with the padding row zeroed when given."""
+        from mamba_tts_tpu.models.text_encoder import sinusoid_position_table
+
+        table = sinusoid_position_table(max_length, embedding_dim).copy()
+        if padding_idx is None:
+            padding_idx = self.padding_id
+        if padding_idx is not None and 0 <= padding_idx < max_length:
+            table[padding_idx] = 0.0
+        return table
+
     def batch_process(
         self,
         texts: Sequence[str],
