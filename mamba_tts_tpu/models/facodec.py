@@ -254,7 +254,9 @@ class TimbreExtractor(nn.Module):
         c = self.cfg
         x = z
         for i in range(self.n_layers):
-            attn = nn.SelfAttention(num_heads=self.n_heads, name=f"attn_{i}")(x)
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.n_heads, name=f"attn_{i}"
+            )(x)
             x = nn.LayerNorm(name=f"ln_a{i}")(x + attn)
             h = nn.Dense(2 * c.latent_dim, name=f"ff1_{i}")(x)
             h = nn.gelu(h)
