@@ -53,14 +53,18 @@ class FACodecTokenizer:
             wav = jnp.zeros((1, self.bucket), jnp.float32)
             params = self.module.init(jax.random.PRNGKey(seed), wav)["params"]
         self.params = params
-        self._encode_jit = jax.jit(
-            lambda wav: self.module.apply({"params": self.params}, wav, method=FACodec.encode)
+        # params as jit ARGUMENTS, not closure constants (constants inflate
+        # the HLO by the full parameter size).
+        self._encode_p = jax.jit(
+            lambda params, wav: self.module.apply({"params": params}, wav, method=FACodec.encode)
         )
-        self._decode_jit = jax.jit(
-            lambda ids, spk: self.module.apply(
-                {"params": self.params}, ids, spk, method=FACodec.decode
+        self._decode_p = jax.jit(
+            lambda params, ids, spk: self.module.apply(
+                {"params": params}, ids, spk, method=FACodec.decode
             )
         )
+        self._encode_jit = lambda wav: self._encode_p(self.params, wav)
+        self._decode_jit = lambda ids, spk: self._decode_p(self.params, ids, spk)
 
     # ------------------------------------------------------------------ load
 

@@ -67,7 +67,7 @@ class DecoderConfig:
     mamba: MambaConfig = field(default_factory=MambaConfig)
     dtype: str = "bfloat16"  # compute dtype; params + accumulation are f32
     scan_chunk: int = 64  # time-chunk for the chunked selective scan
-    use_pallas: bool = False  # use Pallas kernels for the selective scan
+    use_pallas: bool = True  # Pallas scan on TPU (falls back to XLA off-TPU)
     remat: bool = False  # jax.checkpoint each decoder layer (activation memory)
 
     pad_id: int = 0

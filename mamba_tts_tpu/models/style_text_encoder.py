@@ -137,8 +137,10 @@ class StyleTextEncoder:
             ids = jnp.zeros((1, 8), jnp.int32)
             mask = jnp.ones((1, 8), bool)
             self.params = self.module.init(jax.random.PRNGKey(seed), ids, mask)["params"]
+        # params are an ARGUMENT of the jitted fn (closing over them would
+        # embed ~110M floats as constants in the HLO).
         self._apply = jax.jit(
-            lambda ids, mask: self.module.apply({"params": self.params}, ids, mask)
+            lambda params, ids, mask: self.module.apply({"params": params}, ids, mask)
         )
 
     def embed(self, texts: Sequence[str]) -> jax.Array:
@@ -146,4 +148,4 @@ class StyleTextEncoder:
         if isinstance(texts, str):
             texts = [texts]
         ids, mask = self.tokenizer.encode_batch(texts, self.max_length)
-        return self._apply(jnp.asarray(ids), jnp.asarray(mask))
+        return self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
