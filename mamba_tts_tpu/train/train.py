@@ -16,8 +16,6 @@ inserts the collectives.
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import json
 import time
 from functools import partial
 from typing import Optional
