@@ -197,6 +197,9 @@ class OfflineDataset:
         with open(self.root / "metadata.json") as f:
             self.metadata = json.load(f)
         self.tensors = self.root / "tensors"
+        self.speaker_map: Dict[str, list] = {}
+        for i, meta in enumerate(self.metadata):
+            self.speaker_map.setdefault(meta.get("speaker", ""), []).append(i)
 
     def __len__(self) -> int:
         return len(self.metadata)
@@ -211,6 +214,66 @@ class OfflineDataset:
             "codec_tokens": np.load(self.tensors / f"{name}_codec.npy"),
             "spk_emb": np.load(self.tensors / f"{name}_spk_emb.npy"),
         }
+
+    def batches(
+        self,
+        batch_size: int,
+        max_text_len: int = 256,
+        frame_bucket: int = 128,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+    ) -> "Iterator[dict]":
+        """Jit-ready training batches straight from preprocessed tensors —
+        no G2P / BERT / codec work in the training loop.  Voice prompts are
+        the codec tokens of another random utterance of the same speaker
+        (the online dataset's pairing rule — reference: dataset.py:85-92).
+        """
+        rng = np.random.RandomState(seed)
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        step = batch_size
+        for start in range(0, len(order) - (step - 1 if drop_last else 0), step):
+            idxs = order[start : start + step]
+            if len(idxs) == 0:
+                break
+            items = [self[int(i)] for i in idxs]
+            voices = []
+            for it in items:
+                pool = [
+                    j for j in self.speaker_map.get(it.get("speaker", ""), [])
+                    if self.metadata[j]["item_name"] != it["item_name"]
+                ]
+                j = pool[rng.randint(len(pool))] if pool else int(idxs[0])
+                voices.append(self[j])
+
+            B = len(items)
+            phon = np.zeros((B, max_text_len), np.int32)
+            mask = np.zeros((B, max_text_len), bool)
+            for i, it in enumerate(items):
+                n = min(len(it["phoneme_ids"]), max_text_len)
+                phon[i, :n] = it["phoneme_ids"][:n]
+                mask[i, :n] = True
+
+            def stack_codec(objs):
+                c = np.concatenate([o["codec_tokens"] for o in objs], axis=0)
+                lengths = (c != 0).any(axis=2).sum(axis=1).astype(np.int32)
+                max_f = max(int(lengths.max()), frame_bucket)
+                bucketed = -(-max_f // frame_bucket) * frame_bucket
+                return c[:, : min(bucketed, c.shape[1])], lengths
+
+            target_codec, target_frames = stack_codec(items)
+            voice_codec, _ = stack_codec(voices)
+            yield {
+                "phoneme_ids": phon,
+                "text_mask": mask,
+                "style_bert": np.concatenate([it["style_emb"] for it in items], axis=0),
+                "spk_embs": np.concatenate([it["spk_emb"] for it in items], axis=0),
+                "target_codec": target_codec,
+                "target_frames": target_frames,
+                "voice_codec": voice_codec,
+            }
 
 
 def main(argv=None):

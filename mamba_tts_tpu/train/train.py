@@ -105,6 +105,10 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--synthetic", action="store_true",
                         help="run on a generated synthetic dataset (smoke test)")
+    parser.add_argument("--preprocessed_dir", type=str, default=None,
+                        help="train from an offline-preprocessed directory "
+                             "(data/preprocess.py output) — no G2P/BERT/codec "
+                             "work in the loop")
     parser.add_argument("--config_json", type=str, default=None)
     parser.add_argument("--mesh", type=str, default=None,
                         help="mesh shape as 'data,model', e.g. '4,2'")
@@ -123,23 +127,44 @@ def main(argv: Optional[list] = None):
     cfg = config_lib.override(cfg, "train.w_dur", args.w_dur)
     cfg = config_lib.override(cfg, "train.w_smsd", args.w_smsd)
 
-    # Data.
-    if args.synthetic:
-        import tempfile
+    # Data: either the online path (raw CSV + tar, front-ends in the loop)
+    # or the offline-preprocessed path (ready tensors).
+    offline = None
+    if args.preprocessed_dir:
+        from mamba_tts_tpu.data.preprocess import OfflineDataset
 
-        from mamba_tts_tpu.data.dataset import make_synthetic_dataset
+        offline = OfflineDataset(args.preprocessed_dir)
+        print(f"offline dataset: {len(offline)} items from {args.preprocessed_dir}")
 
-        tmp = tempfile.mkdtemp(prefix="mtts_synth_")
-        csv_path, audio_root = make_synthetic_dataset(tmp, n_items=max(8, args.batch_size * 2))
+        def batch_iter(epoch_seed):
+            return offline.batches(
+                cfg.train.batch_size,
+                max_text_len=cfg.data.max_text_len,
+                seed=epoch_seed,
+            )
     else:
-        csv_path, audio_root = args.csv_path, args.audio_root
+        if args.synthetic:
+            import tempfile
 
-    from mamba_tts_tpu.data.dataset import VccmTTSDataset
-    from mamba_tts_tpu.train.pipeline import BatchPreparer
+            from mamba_tts_tpu.data.dataset import make_synthetic_dataset
 
-    dataset = VccmTTSDataset(csv_path, audio_root, cfg.data.sample_rate, seed=args.seed)
-    print(f"dataset: {len(dataset)} items ({dataset.skipped} skipped)")
-    preparer = BatchPreparer(cfg)
+            tmp = tempfile.mkdtemp(prefix="mtts_synth_")
+            csv_path, audio_root = make_synthetic_dataset(
+                tmp, n_items=max(8, args.batch_size * 2)
+            )
+        else:
+            csv_path, audio_root = args.csv_path, args.audio_root
+
+        from mamba_tts_tpu.data.dataset import VccmTTSDataset
+        from mamba_tts_tpu.train.pipeline import BatchPreparer
+
+        dataset = VccmTTSDataset(csv_path, audio_root, cfg.data.sample_rate, seed=args.seed)
+        print(f"dataset: {len(dataset)} items ({dataset.skipped} skipped)")
+        preparer = BatchPreparer(cfg)
+
+        def batch_iter(epoch_seed):
+            for inputs, target_wav in dataset.batches(cfg.train.batch_size, seed=epoch_seed):
+                yield preparer(inputs, target_wav)
 
     # Model + optimizer.
     model = build_model(cfg)
@@ -178,11 +203,10 @@ def main(argv: Optional[list] = None):
     rng = jax.random.fold_in(rng, step)
     t_start = time.perf_counter()
     while step < cfg.train.max_steps:
-        for inputs, target_wav in dataset.batches(cfg.train.batch_size, seed=step):
+        for batch in batch_iter(step):
             if step >= cfg.train.max_steps:
                 break
             t0 = time.perf_counter()
-            batch = preparer(inputs, target_wav)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if mesh is not None:
                 from mamba_tts_tpu.parallel.mesh import shard_batch
