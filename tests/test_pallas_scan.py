@@ -72,6 +72,54 @@ def test_pallas_bf16():
     )
 
 
+def test_pallas_gradients_ragged_T_and_h0():
+    """Backward with T not divisible by chunk AND a nonzero initial state:
+    grads (incl. dh0) match the chunked path."""
+    args = _inputs(jax.random.PRNGKey(7), T=21, D=16, N=4)
+    h0 = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 16))
+
+    def loss_p(h0, *a):
+        y, h = selective_scan_pallas(*a, h0=h0, chunk=8)
+        return (y.astype(jnp.float32) ** 2).sum() + (h**2).sum()
+
+    def loss_c(h0, *a):
+        y, h = selective_scan_chunked(*a, h0=h0, chunk=8)
+        return (y.astype(jnp.float32) ** 2).sum() + (h**2).sum()
+
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2, 3))(h0, *args)
+    g_c = jax.grad(loss_c, argnums=(0, 1, 2, 3))(h0, *args)
+    for gp, gc, name in zip(g_p, g_c, "h0 u delta A".split()):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gc), rtol=2e-3, atol=2e-3, err_msg=name
+        )
+
+
+def test_pallas_grad_from_final_state_only():
+    """Cotangent flowing only through h_final (y unused) is handled."""
+    args = _inputs(jax.random.PRNGKey(9), T=16, D=16, N=4)
+
+    def loss_p(*a):
+        _, h = selective_scan_pallas(*a, chunk=8)
+        return (h**2).sum()
+
+    def loss_c(*a):
+        _, h = selective_scan_chunked(*a, chunk=8)
+        return (h**2).sum()
+
+    g_p = jax.grad(loss_p, argnums=(0, 1))(*args)
+    g_c = jax.grad(loss_c, argnums=(0, 1))(*args)
+    for gp, gc in zip(g_p, g_c):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gc), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_T_smaller_than_chunk():
+    args = _inputs(jax.random.PRNGKey(10), T=5)
+    y_ref, h_ref = selective_scan_ref(*args)
+    y_p, h_p = selective_scan_pallas(*args, chunk=16)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref), rtol=2e-4, atol=2e-4)
+
+
 def test_mamba_block_pallas_flag_runs():
     """MambaBlock(use_pallas=True) falls back to the XLA path off-TPU and
     still produces identical results to use_pallas=False."""
