@@ -240,12 +240,14 @@ class OfflineDataset:
                 break
             items = [self[int(i)] for i in idxs]
             voices = []
-            for it in items:
+            for i_local, it in enumerate(items):
                 pool = [
                     j for j in self.speaker_map.get(it.get("speaker", ""), [])
                     if self.metadata[j]["item_name"] != it["item_name"]
                 ]
-                j = pool[rng.randint(len(pool))] if pool else int(idxs[0])
+                # no other utterance of this speaker -> use the item itself
+                # (the online dataset's degenerate-case behavior)
+                j = pool[rng.randint(len(pool))] if pool else int(idxs[i_local])
                 voices.append(self[j])
 
             B = len(items)
