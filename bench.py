@@ -8,6 +8,11 @@ Scenario (the synthesis hot path, BASELINE.md north-star): greedy-decode a
 full 12.8 s utterance — 1024 codec frames x 5 quantizer streams = 5120 audio
 tokens — conditioned on a 3 s voice prompt (240 frames x 5 = 1200 reference
 tokens) and a 50-phoneme text, batch 1, on one chip.  RTF = wall / 12.8 s.
+
+Extras include the roofline accounting: AR decode at small batch is HBM
+-bandwidth-bound (every step re-reads all weights + the per-example memory
+K/V), so the meaningful utilization number is achieved bytes/s vs peak HBM
+bandwidth; MFU is reported too (it is inherently tiny for matvec decode).
 """
 from __future__ import annotations
 
@@ -16,6 +21,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+# TPU v5e (this bench's target chip): 819 GB/s HBM, 197 bf16 TFLOP/s.
+HBM_PEAK = 819e9
+FLOPS_PEAK = 197e12
 
 
 def _cast_params_bf16(params):
@@ -104,6 +113,35 @@ def main():
     audio_seconds = F / 80.0  # 80 codec frames per second
     rtf = best / audio_seconds
 
+    # ---- roofline accounting (per decode step = one token per sequence) ---
+    def _bytes(t):
+        return int(t.size) * t.dtype.itemsize
+
+    param_bytes = sum(_bytes(p) for p in jax.tree.leaves(variables))
+    # per-layer memory K/V, read per step per example (bf16)
+    kv_bytes_per_example = cfg.n_layers * 2 * (T_ref + T_text) * cfg.d_model * 2
+    # SSM state + conv ring buffer carried per step (f32 h, read+write)
+    m = cfg.with_mamba_dims().mamba
+    state_bytes_per_example = cfg.n_layers * (
+        2 * m.d_state * m.d_inner * 4 + m.d_conv * m.d_inner * 2
+    )
+    matmul_params = sum(
+        p.size for path, p in jax.tree_util.tree_leaves_with_path(variables)
+        if p.ndim >= 2
+    )
+
+    def roofline(batch, wall, steps):
+        step_bytes = param_bytes + batch * (kv_bytes_per_example + state_bytes_per_example)
+        achieved_bw = step_bytes * steps / wall
+        flops_step = batch * (
+            2 * matmul_params + cfg.n_layers * 2 * 2 * (T_ref + T_text) * cfg.d_model
+        )
+        return {
+            "achieved_gb_per_s": round(achieved_bw / 1e9, 1),
+            "hbm_roofline_frac": round(achieved_bw / HBM_PEAK, 3),
+            "mfu": round(flops_step * steps / wall / FLOPS_PEAK, 4),
+        }
+
     result = {
         "metric": "decode_tokens_per_sec_per_chip",
         "value": round(tps, 1),
@@ -114,7 +152,13 @@ def main():
             "wall_s": round(best, 3),
             "tokens": total_tokens,
             "batch": B,
+            "vocab": cfg.vocab_size_audio,
             "batched_tokens_per_sec_b8": batched_tps,
+            "roofline_b1": roofline(1, best, Q * F),
+            "roofline_b8": (
+                roofline(8, 8 * Q * F / batched_tps, Q * F) if batched_tps else None
+            ),
+            "param_mb": round(param_bytes / 1e6, 1),
             "backend": jax.devices()[0].platform,
         },
     }

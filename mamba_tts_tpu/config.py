@@ -55,7 +55,10 @@ class DecoderConfig:
     data_utils/audio_encoder.py:232-241, train.py:184.)
     """
 
-    codebook_size: int = 10  # per-codebook ids (reference: train.py:60-63)
+    # Per-codebook id count.  1024 matches the real FACodec codebooks (the
+    # reference's vocab_size_audio=10 mistakes upstream's log2 parameter for
+    # a count — see CodecConfig.codebook_size).
+    codebook_size: int = 1024
     num_special_tokens: int = 2  # PAD=0, BOS=1
     d_model: int = 512
     n_layers: int = 8
@@ -174,7 +177,11 @@ class CodecConfig:
     ngf: int = 32
     up_ratios: Tuple[int, ...] = (2, 4, 5, 5)
     latent_dim: int = 256
-    codebook_size: int = 10  # per reference contract (train.py:60-63)
+    # ACTUAL codes per codebook.  The reference passes codebook_size_*=10,
+    # which upstream ns3_codec exponentiates (2**10 = 1024 codes); the
+    # reference's own vocab_size_audio=10 (train.py:60-63) treats it
+    # literally — a defect.  Pinned to the upstream checkpoint reality.
+    codebook_size: int = 1024
     codebook_dim: int = 8
     vq_num_q_p: int = 1
     vq_num_q_c: int = 1  # pinned to the documented 5-stream contract (SURVEY §7.8)

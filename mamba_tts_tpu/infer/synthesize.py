@@ -57,6 +57,23 @@ class Synthesizer:
         self.style_encoder = style_encoder or StyleTextEncoder(cfg.style_encoder)
         self._decode_cache = {}
 
+        model = self.model
+
+        # Jitted duration prologue: ONE compiled call returning one scalar —
+        # on the tunneled TPU backend (~10 ms/dispatch, slow output ship)
+        # the previous op-by-op model.apply dominated short-utterance latency.
+        @jax.jit
+        def _frames(params, phoneme_ids, text_mask):
+            mvars = {"params": params}
+            text_hidden = model.apply(mvars, phoneme_ids, text_mask, method=MambaTTS.encode_text)
+            log_dur = model.apply(
+                mvars, text_hidden, text_mask, method=MambaTTS.predict_durations
+            )
+            dur = jnp.exp(log_dur) * text_mask.astype(log_dur.dtype)
+            return dur.sum(axis=1).max()
+
+        self._frames_jit = _frames
+
     # ------------------------------------------------------------- pipeline
 
     def _decode_fn(self, frames_per_stream: int, temperature: float):
@@ -88,15 +105,15 @@ class Synthesizer:
         return self._decode_cache[key]
 
     def predict_frames(self, phoneme_ids, text_mask) -> int:
-        """Frame budget from the duration predictor (sum of exp(log_dur))."""
-        mvars = {"params": self.params}
-        text_hidden = self.model.apply(
-            mvars, jnp.asarray(phoneme_ids), jnp.asarray(text_mask), method=MambaTTS.encode_text
+        """Frame budget from the duration predictor (sum of exp(log_dur)).
+        One jitted call, one scalar shipped back."""
+        frames = float(
+            jax.device_get(
+                self._frames_jit(
+                    self.params, jnp.asarray(phoneme_ids), jnp.asarray(text_mask)
+                )
+            )
         )
-        log_dur = self.model.apply(
-            mvars, text_hidden, jnp.asarray(text_mask), method=MambaTTS.predict_durations
-        )
-        frames = float(jnp.exp(log_dur).sum(axis=1).max())
         return int(np.clip(frames, 8, self.cfg.codec.max_seq_len))
 
     def synthesize(
@@ -221,13 +238,17 @@ def load_synthesizer(
             cfg = TTSConfig()
 
     model = build_model(cfg)
-    params = init_params(model, cfg, jax.random.PRNGKey(seed))
+    params = None
     if checkpoint_dir is not None:
-        tx = state_lib.make_optimizer(cfg.train.lr, cfg.train.grad_clip_norm)
-        st = state_lib.create_train_state(params, tx)
-        st, restored = state_lib.restore_checkpoint(checkpoint_dir, st)
-        if restored:
-            params = st.params
+        # Abstract restore: no throwaway random init of the full tree.
+        abstract = jax.eval_shape(
+            lambda key: init_params(model, cfg, key), jax.random.PRNGKey(seed)
+        )
+        params, restored = state_lib.restore_params(checkpoint_dir, abstract)
+        if not restored:
+            params = None
+    if params is None:
+        params = init_params(model, cfg, jax.random.PRNGKey(seed))
     return Synthesizer(cfg, params)
 
 

@@ -66,7 +66,8 @@ class DecoderLayer(nn.Module):
     def _film_ffn_with(self, x: jax.Array, gamma: jax.Array, beta: jax.Array) -> jax.Array:
         h = self.norm_ff(x)
         h = gamma[:, None, :] * h + beta[:, None, :]
-        return self.ff2(nn.gelu(self.ff1(h)))
+        # exact erf GELU (torch nn.GELU parity; reference: mamba_decoder.py:38-43)
+        return self.ff2(nn.gelu(self.ff1(h), approximate=False))
 
     def _film_ffn(self, x: jax.Array, z_style: jax.Array) -> jax.Array:
         gamma, beta = self.film_params(z_style)

@@ -80,7 +80,7 @@ class StyleCrossAttnBlock(nn.Module):
         x = nn.LayerNorm(dtype=dt, name="attn_ln")(x + attn)
 
         h = nn.Dense(4 * c.d_model, dtype=dt, name="ffn1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # exact erf GELU (torch nn.GELU parity)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
         h = nn.Dense(c.d_model, dtype=dt, name="ffn2")(h)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)

@@ -199,11 +199,23 @@ def selective_scan(
 ) -> Tuple[jax.Array, jax.Array]:
     """Dispatching entry point used by the Mamba block.
 
-    ``use_pallas`` selects the fused Pallas TPU kernel when available;
-    otherwise the chunked XLA scan (which XLA fuses well) is used.
+    ``use_pallas`` selects the fused Pallas TPU kernel; the selection is made
+    per *lowering platform* (``lax.platform_dependent``), so one jitted graph
+    runs the Pallas kernel on TPU devices and the chunked XLA scan on CPU
+    meshes (e.g. the virtual 8-device mesh used by the multi-chip dryrun) —
+    ``jax.default_backend()`` alone is wrong when the default backend is TPU
+    but the computation is placed on CPU devices.
     """
-    if use_pallas and jax.default_backend() == "tpu":
+    if use_pallas:
         from mamba_tts_tpu.ops.pallas_scan import selective_scan_pallas
 
-        return selective_scan_pallas(u, delta, A, B, C, D, h0=h0, chunk=chunk)
+        def _pallas(u, delta, A, B, C, D):
+            return selective_scan_pallas(u, delta, A, B, C, D, h0=h0, chunk=chunk)
+
+        def _xla(u, delta, A, B, C, D):
+            return selective_scan_chunked(u, delta, A, B, C, D, h0=h0, chunk=chunk)
+
+        return jax.lax.platform_dependent(
+            u, delta, A, B, C, D, tpu=_pallas, default=_xla
+        )
     return selective_scan_chunked(u, delta, A, B, C, D, h0=h0, chunk=chunk)

@@ -93,12 +93,43 @@ really R IH1 L IY0 | almost AO1 L M OW2 S T | let L EH1 T | above AH0 B AH1 V
 girl G ER1 L | sometimes S AH1 M T AY2 M Z | mountain M AW1 N T AH0 N
 cut K AH1 T | young Y AH1 NG | talk T AO1 K | soon S UW1 N | list L IH1 S T
 song S AO1 NG | being B IY1 IH0 NG | leave L IY1 V | family F AE1 M AH0 L IY0
-voice V OY1 S | speak S P IY1 K | fast F AE1 S T | slow S L OW1 OW0
+voice V OY1 S | speak S P IY1 K | fast F AE1 S T | slow S L OW1
 happy HH AE1 P IY0 | sad S AE1 D | angry AE1 NG G R IY0 | calm K AA1 M
 loud L AW1 D | quiet K W AY1 AH0 T | speech S P IY1 CH | tone T OW1 N
 energy EH1 N ER0 JH IY0 | emotion IH0 M OW1 SH AH0 N | style S T AY1 L
 pitch P IH1 CH | whisper W IH1 S P ER0 | shout SH AW1 T | deep D IY1 P
 soft S AO1 F T | gentle JH EH1 N T AH0 L | cheerful CH IH1 R F AH0 L
+zero Z IH1 R OW0 | five F AY1 V | six S IH1 K S | seven S EH1 V AH0 N
+eight EY1 T | nine N AY1 N | ten T EH1 N | eleven IH0 L EH1 V AH0 N
+twelve T W EH1 L V | thirteen TH ER1 T IY1 N | fourteen F AO1 R T IY1 N
+fifteen F IH0 F T IY1 N | sixteen S IH0 K S T IY1 N
+seventeen S EH1 V AH0 N T IY1 N | eighteen EY0 T IY1 N
+nineteen N AY1 N T IY1 N | twenty T W EH1 N T IY0 | thirty TH ER1 T IY0
+forty F AO1 R T IY0 | fifty F IH1 F T IY0 | sixty S IH1 K S T IY0
+seventy S EH1 V AH0 N T IY0 | eighty EY1 T IY0 | ninety N AY1 N T IY0
+hundred HH AH1 N D R AH0 D | thousand TH AW1 Z AH0 N D
+million M IH1 L Y AH0 N | billion B IH1 L Y AH0 N | minus M AY1 N AH0 S
+oh OW1 | dollar D AA1 L ER0 | dollars D AA1 L ER0 Z | cent S EH1 N T
+cents S EH1 N T S | etc EH0 T S EH1 T ER0 AH0 | third TH ER1 D
+fourth F AO1 R TH | fifth F IH1 F TH | sixth S IH1 K S TH
+seventh S EH1 V AH0 N TH | eighth EY1 T TH | ninth N AY1 N TH
+tenth T EH1 N TH | monday M AH1 N D EY2 | tuesday T UW1 Z D EY2
+wednesday W EH1 N Z D EY2 | thursday TH ER1 Z D EY2 | friday F R AY1 D EY2
+saturday S AE1 T ER0 D EY2 | sunday S AH1 N D EY2
+january JH AE1 N Y UW0 EH2 R IY0 | february F EH1 B Y AH0 W EH2 R IY0
+march M AA1 R CH | april EY1 P R AH0 L | june JH UW1 N | july JH UW0 L AY1
+august AO1 G AH0 S T | september S EH0 P T EH1 M B ER0
+october AA0 K T OW1 B ER0 | november N OW0 V EH1 M B ER0
+december D IH0 S EH1 M B ER0 | male M EY1 L | female F IY1 M EY0 L
+woman W UH1 M AH0 N | lady L EY1 D IY0 | low L OW1 | high HH AY1
+normal N AO1 R M AH0 L | neutral N UW1 T R AH0 L | speed S P IY1 D
+rate R EY1 T | volume V AA1 L Y UW0 M | says S EH1 Z | speaks S P IY1 K S
+speaker S P IY1 K ER0 | slowly S L OW1 L IY0 | quickly K W IH1 K L IY0
+loudly L AW1 D L IY0 | softly S AO1 F T L IY0 | whispers W IH1 S P ER0 Z
+sounds S AW1 N D Z | fear F IH1 R | joy JH OY1 | surprise S ER0 P R AY1 Z
+disgust D IH0 S G AH1 S T | excited IH0 K S AY1 T IH0 D
+depressed D IH0 P R EH1 S T | anger AE1 NG G ER0 | sadness S AE1 D N AH0 S
+happiness HH AE1 P IY0 N AH0 S | hello HH AH0 L OW1 | world W ER1 L D
 """
 
 
@@ -111,6 +142,90 @@ def _parse_seed() -> Dict[str, List[str]]:
         parts = entry.split()
         lex[parts[0]] = parts[1:]
     return lex
+
+
+# ------------------------------------------------------------- homographs
+
+# word -> (pronunciation when VERB, pronunciation otherwise, default_is_verb)
+# The reference disambiguates with nltk POS tags
+# (reference: data_utils/text_processor.py:95-102 via g2p_en); offline, a
+# context heuristic picks verb vs non-verb from the preceding word.
+_HOMOGRAPHS = {
+    "live": (["L", "IH1", "V"], ["L", "AY1", "V"], True),
+    "lives": (["L", "IH1", "V", "Z"], ["L", "AY1", "V", "Z"], True),
+    "lead": (["L", "IY1", "D"], ["L", "EH1", "D"], True),
+    "close": (["K", "L", "OW1", "Z"], ["K", "L", "OW1", "S"], False),
+    "use": (["Y", "UW1", "Z"], ["Y", "UW1", "S"], True),
+    "house": (["HH", "AW1", "Z"], ["HH", "AW1", "S"], False),
+    "excuse": (["IH0", "K", "S", "K", "Y", "UW1", "Z"],
+               ["IH0", "K", "S", "K", "Y", "UW1", "S"], True),
+    "record": (["R", "IH0", "K", "AO1", "R", "D"],
+               ["R", "EH1", "K", "ER0", "D"], False),
+    "present": (["P", "R", "IH0", "Z", "EH1", "N", "T"],
+                ["P", "R", "EH1", "Z", "AH0", "N", "T"], False),
+    "object": (["AH0", "B", "JH", "EH1", "K", "T"],
+               ["AA1", "B", "JH", "EH0", "K", "T"], False),
+    "subject": (["S", "AH0", "B", "JH", "EH1", "K", "T"],
+                ["S", "AH1", "B", "JH", "IH0", "K", "T"], False),
+    "project": (["P", "R", "AH0", "JH", "EH1", "K", "T"],
+                ["P", "R", "AA1", "JH", "EH0", "K", "T"], False),
+    "produce": (["P", "R", "AH0", "D", "UW1", "S"],
+                ["P", "R", "OW1", "D", "UW0", "S"], True),
+    "permit": (["P", "ER0", "M", "IH1", "T"], ["P", "ER1", "M", "IH0", "T"], True),
+    "conduct": (["K", "AH0", "N", "D", "AH1", "K", "T"],
+                ["K", "AA1", "N", "D", "AH0", "K", "T"], False),
+    "contract": (["K", "AH0", "N", "T", "R", "AE1", "K", "T"],
+                 ["K", "AA1", "N", "T", "R", "AE0", "K", "T"], False),
+    "content": (["K", "AH0", "N", "T", "EH1", "N", "T"],
+                ["K", "AA1", "N", "T", "EH0", "N", "T"], False),
+    "desert": (["D", "IH0", "Z", "ER1", "T"], ["D", "EH1", "Z", "ER0", "T"], False),
+    "increase": (["IH0", "N", "K", "R", "IY1", "S"],
+                 ["IH1", "N", "K", "R", "IY2", "S"], True),
+    "decrease": (["D", "IH0", "K", "R", "IY1", "S"],
+                 ["D", "IH1", "K", "R", "IY2", "S"], True),
+    "insult": (["IH0", "N", "S", "AH1", "L", "T"],
+               ["IH1", "N", "S", "AH2", "L", "T"], True),
+    "progress": (["P", "R", "AH0", "G", "R", "EH1", "S"],
+                 ["P", "R", "AA1", "G", "R", "EH2", "S"], False),
+    "protest": (["P", "R", "AH0", "T", "EH1", "S", "T"],
+                ["P", "R", "OW1", "T", "EH2", "S", "T"], False),
+    "rebel": (["R", "IH0", "B", "EH1", "L"], ["R", "EH1", "B", "AH0", "L"], False),
+    "refuse": (["R", "IH0", "F", "Y", "UW1", "Z"],
+               ["R", "EH1", "F", "Y", "UW2", "Z"], True),
+    "suspect": (["S", "AH0", "S", "P", "EH1", "K", "T"],
+                ["S", "AH1", "S", "P", "EH2", "K", "T"], False),
+    "survey": (["S", "ER0", "V", "EY1"], ["S", "ER1", "V", "EY2"], False),
+    "wind": (["W", "AY1", "N", "D"], ["W", "IH1", "N", "D"], False),
+    "wound": (["W", "AW1", "N", "D"], ["W", "UW1", "N", "D"], False),
+    "tear": (["T", "EH1", "R"], ["T", "IH1", "R"], True),
+    "bow": (["B", "AW1"], ["B", "OW1"], False),
+    "address": (["AH0", "D", "R", "EH1", "S"], ["AE1", "D", "R", "EH2", "S"], False),
+    "estimate": (["EH1", "S", "T", "AH0", "M", "EY2", "T"],
+                 ["EH1", "S", "T", "AH0", "M", "AH0", "T"], True),
+    "separate": (["S", "EH1", "P", "ER0", "EY2", "T"],
+                 ["S", "EH1", "P", "ER0", "IH0", "T"], False),
+}
+
+# Preceding-word cues: infinitives/modals/pronoun subjects -> verb reading;
+# determiners/possessives/prepositions -> noun/adjective reading.
+_VERB_CUES = frozenset(
+    "to will would shall can could may might must do does did dont doesnt "
+    "didnt wont cannot not i you we they please lets".split()
+)
+_NOUN_CUES = frozenset(
+    "the a an this that these those my your his her its our their some any "
+    "no each every another one of in on at with for by".split()
+)
+
+
+def _homograph_is_verb(prev_word: Optional[str], default: bool) -> bool:
+    if prev_word is not None:
+        w = prev_word.lower().replace("'", "")
+        if w in _VERB_CUES:
+            return True
+        if w in _NOUN_CUES:
+            return False
+    return default
 
 
 # -------------------------------------------------- rule-based letter-to-sound
@@ -288,6 +403,10 @@ class EnG2p:
         self.lexicon = _parse_seed()
         if cmudict_path:
             self.load_cmudict(cmudict_path)
+        # coverage counters: lexicon/homograph hits vs rule-LTS fallbacks
+        self.n_lexicon = 0
+        self.n_fallback = 0
+        self.oov_words: Dict[str, int] = {}
 
     def load_cmudict(self, path: str) -> int:
         """Load a CMU-dict-format lexicon (``WORD  PH PH``; ;;; comments).
@@ -309,17 +428,33 @@ class EnG2p:
     def predict(self, word: str) -> List[str]:
         return rule_g2p(word)
 
+    @property
+    def oov_rate(self) -> float:
+        """Fraction of word tokens handled by the rule-LTS fallback."""
+        total = self.n_lexicon + self.n_fallback
+        return self.n_fallback / total if total else 0.0
+
     def __call__(self, text: str) -> List[str]:
         words = word_tokenize(text)
         prons: List[str] = []
-        for word in words:
+        for i, word in enumerate(words):
             lower = word.lower()
             if re.search("[a-z]", lower) is None:
                 pron = [word]  # punctuation/number token passes through
+            elif lower in _HOMOGRAPHS:
+                verb_pron, other_pron, default = _HOMOGRAPHS[lower]
+                prev = words[i - 1] if i > 0 else None
+                pron = list(
+                    verb_pron if _homograph_is_verb(prev, default) else other_pron
+                )
+                self.n_lexicon += 1
             elif lower in self.lexicon:
                 pron = list(self.lexicon[lower])
+                self.n_lexicon += 1
             else:
                 pron = self.predict(lower)
+                self.n_fallback += 1
+                self.oov_words[lower] = self.oov_words.get(lower, 0) + 1
             prons.extend(pron)
             prons.append(" ")
         return prons[:-1] if prons else []

@@ -84,18 +84,23 @@ def _expand_decimal(m: re.Match) -> str:
 
 
 def _expand_year(n: int) -> str:
-    """Read 4-digit year-like numbers as pairs (1984 -> nineteen eighty four)."""
+    """Read 4-digit year-like numbers as pairs (1984 -> nineteen eighty
+    four; 1905 -> nineteen oh five), with the g2p_en special cases
+    2000 -> two thousand and 2001-2009 -> two thousand N."""
+    if n == 2000:
+        return "two thousand"
+    if 2000 < n < 2010:
+        return "two thousand " + _UNITS[n - 2000]
     hi, lo = divmod(n, 100)
     if lo == 0:
         return number_to_words(hi) + " hundred"
-    if hi % 10 == 0:
-        return number_to_words(n)
     return number_to_words(hi) + " " + ("oh " + _UNITS[lo] if lo < 10 else number_to_words(lo))
 
 
 def _expand_cardinal(m: re.Match) -> str:
     n = int(m.group(0).replace(",", ""))
-    if 1000 <= n <= 2999 and len(m.group(0).replace(",", "")) == 4:
+    # year-like read only for a bare 4-digit number: "1,234" is a cardinal
+    if 1000 <= n <= 2999 and "," not in m.group(0) and len(m.group(0)) == 4:
         return _expand_year(n)
     return number_to_words(n)
 

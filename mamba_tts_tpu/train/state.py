@@ -67,6 +67,30 @@ def save_checkpoint(checkpoint_dir: str, state: TrainState) -> None:
     mgr.close()
 
 
+def restore_params(
+    checkpoint_dir: str, params_target: Any, step: Optional[int] = None
+) -> Tuple[Any, bool]:
+    """Restore ONLY the params item of a checkpoint, against an ABSTRACT
+    target (``jax.eval_shape`` tree of ShapeDtypeStructs) — inference-time
+    loading without materializing a throwaway random init."""
+    import orbax.checkpoint as ocp
+
+    path = Path(checkpoint_dir).absolute()
+    if not path.exists():
+        return None, False
+    mgr = _manager(checkpoint_dir)
+    target = step if step is not None else mgr.latest_step()
+    if target is None:
+        mgr.close()
+        return None, False
+    restored = mgr.restore(
+        target,
+        args=ocp.args.Composite(params=ocp.args.StandardRestore(params_target)),
+    )
+    mgr.close()
+    return restored.params, True
+
+
 def restore_checkpoint(
     checkpoint_dir: str, state: TrainState, step: Optional[int] = None
 ) -> Tuple[TrainState, bool]:

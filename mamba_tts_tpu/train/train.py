@@ -113,6 +113,16 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--mesh", type=str, default=None,
                         help="mesh shape as 'data,model', e.g. '4,2'")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--loader", choices=["batches", "grain"], default="batches",
+                        help="online-path input pipeline: plain dataset.batches "
+                             "or the grain loader (prefetch + worker offload)")
+    parser.add_argument("--grain_workers", type=int, default=0,
+                        help="grain worker processes (0 = in-process)")
+    parser.add_argument("--log_file", type=str, default=None,
+                        help="append per-step JSON metric lines to this file")
+    parser.add_argument("--tensorboard_dir", type=str, default=None)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of steps 2-4 here")
     args = parser.parse_args(argv)
 
     cfg = (
@@ -162,9 +172,21 @@ def main(argv: Optional[list] = None):
         print(f"dataset: {len(dataset)} items ({dataset.skipped} skipped)")
         preparer = BatchPreparer(cfg)
 
-        def batch_iter(epoch_seed):
-            for inputs, target_wav in dataset.batches(cfg.train.batch_size, seed=epoch_seed):
-                yield preparer(inputs, target_wav)
+        if args.loader == "grain":
+            from mamba_tts_tpu.data.grain_pipeline import make_grain_loader
+
+            def batch_iter(epoch_seed):
+                it = make_grain_loader(
+                    dataset, cfg.train.batch_size, seed=epoch_seed,
+                    worker_count=args.grain_workers,
+                )
+                for inputs, target_wav in it:
+                    yield preparer(inputs, target_wav)
+        else:
+
+            def batch_iter(epoch_seed):
+                for inputs, target_wav in dataset.batches(cfg.train.batch_size, seed=epoch_seed):
+                    yield preparer(inputs, target_wav)
 
     # Model + optimizer.
     model = build_model(cfg)
@@ -199,45 +221,62 @@ def main(argv: Optional[list] = None):
 
     train_step = make_train_step(model, tx)
 
+    from mamba_tts_tpu.utils.metrics import MetricsLogger
+    from mamba_tts_tpu.utils.profiling import StepTimer, trace
+
+    logger = MetricsLogger(
+        log_file=args.log_file, tensorboard_dir=args.tensorboard_dir
+    )
+    timer = StepTimer(skip_first=1)
+
     step = train_state.step
+    start_step = step
     rng = jax.random.fold_in(rng, step)
     t_start = time.perf_counter()
+    profiling = False
     while step < cfg.train.max_steps:
         for batch in batch_iter(step):
             if step >= cfg.train.max_steps:
                 break
-            t0 = time.perf_counter()
+            if args.profile_dir and step - start_step == 2 and not profiling:
+                profile_ctx = trace(args.profile_dir)
+                profile_ctx.__enter__()
+                profiling = True
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if mesh is not None:
                 from mamba_tts_tpu.parallel.mesh import shard_batch
 
                 batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, losses = train_step(
-                train_state.params, train_state.opt_state, batch, step_rng
-            )
-            losses = jax.device_get(losses)
+            with timer:
+                params, opt_state, losses = train_step(
+                    train_state.params, train_state.opt_state, batch, step_rng
+                )
+                losses = jax.device_get(losses)
             train_state = train_state.replace(
                 step=step + 1, params=params, opt_state=opt_state
             )
-            dt = time.perf_counter() - t0
             tokens = int(batch["target_codec"].size)
-            print(
-                f"step {step} | "
-                f"loss_total={float(losses['loss_total']):.4f} "
-                f"codec={float(losses['loss_codec']):.4f} "
-                f"dur={float(losses['loss_dur']):.4f} "
-                f"smsd={float(losses['loss_smsd']):.4f} | "
-                f"{dt*1e3:.0f} ms/step {tokens/dt:.0f} tok/s"
-            )
+            if step % cfg.train.log_every == 0:
+                logger.log(step, losses, tokens=tokens)
+            if profiling and step - start_step >= 4:
+                profile_ctx.__exit__(None, None, None)
+                profiling = False
+                print(f"profiler trace written to {args.profile_dir}")
             step += 1
             if step % args.checkpoint_every == 0:
                 state_lib.save_checkpoint(args.checkpoint_dir, train_state)
                 print(f"checkpoint saved at step {step}")
+    if profiling:
+        profile_ctx.__exit__(None, None, None)
     if cfg.train.max_steps > 0 and step % args.checkpoint_every != 0:
         state_lib.save_checkpoint(args.checkpoint_dir, train_state)
         print(f"checkpoint saved at step {step}")
-    print(f"done: {step} steps in {time.perf_counter()-t_start:.1f}s")
+    logger.close()
+    print(
+        f"done: {step} steps in {time.perf_counter()-t_start:.1f}s "
+        f"(steady-state {timer.mean*1e3:.0f} ms/step)"
+    )
 
 
 if __name__ == "__main__":

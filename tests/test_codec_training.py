@@ -46,11 +46,13 @@ def test_codec_overfits_fixed_batch():
     wav = (0.5 * jnp.sin(2 * jnp.pi * 440 * 16000 / 256 * t))[None].astype(jnp.float32)
     wav = jnp.tile(wav, (2, 1))
     params = model.init(jax.random.PRNGKey(0), wav)["params"]
-    tx = state_lib.make_optimizer(3e-3)
+    # 1e-3: at 3e-3 the tanh generator head saturates with the cosine-VQ
+    # (upstream-isomorphic) codec and the spectral losses freeze.
+    tx = state_lib.make_optimizer(1e-3)
     opt = tx.init(params)
     step = make_codec_train_step(model, tx, resolutions=((64, 16),), w_vq=0.1)
     first = None
-    for i in range(100):
+    for i in range(200):
         params, opt, metrics = step(params, opt, wav)
         if first is None:
             first = jax.device_get(metrics)
