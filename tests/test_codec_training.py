@@ -61,3 +61,53 @@ def test_codec_overfits_fixed_batch():
     # for a tiny codebook without adversarial training)
     assert float(last["loss_total"]) < float(first["loss_total"])
     assert float(last["loss_mel"]) < float(first["loss_mel"])
+
+
+def test_adversarial_gan_step():
+    """One jitted GAN step: both param trees update, all losses finite,
+    hinge discriminator loss in its expected initial range (~2)."""
+    from mamba_tts_tpu.models.discriminator import MultiSTFTDiscriminator
+    from mamba_tts_tpu.train.train_codec import make_gan_codec_train_step
+
+    model = FACodec(TINY)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, 256)) * 0.1
+    g_params = model.init(jax.random.PRNGKey(1), wav)["params"]
+    disc = MultiSTFTDiscriminator(resolutions=((128, 32), (64, 16)))
+    d_params = disc.init(jax.random.PRNGKey(2), wav)["params"]
+    tx_g, tx_d = state_lib.make_optimizer(1e-4), state_lib.make_optimizer(1e-4)
+    g_opt, d_opt = tx_g.init(g_params), tx_d.init(d_params)
+    step = make_gan_codec_train_step(
+        model, disc, tx_g, tx_d, resolutions=((64, 16),)
+    )
+    g0 = jax.tree.leaves(g_params)[0].copy()
+    d0 = jax.tree.leaves(d_params)[0].copy()
+    g_params, d_params, g_opt, d_opt, metrics = step(g_params, d_params, g_opt, d_opt, wav)
+    metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    assert all(np.isfinite(v) for v in metrics.values()), metrics
+    assert metrics["loss_disc"] > 0.0
+    assert metrics["loss_fm"] >= 0.0
+    assert np.abs(np.asarray(jax.tree.leaves(g_params)[0]) - np.asarray(g0)).max() > 0
+    assert np.abs(np.asarray(jax.tree.leaves(d_params)[0]) - np.asarray(d0)).max() > 0
+
+
+def test_discriminator_shapes_and_fm():
+    from mamba_tts_tpu.models.discriminator import (
+        MultiSTFTDiscriminator,
+        discriminator_loss,
+        feature_matching_loss,
+        generator_adversarial_loss,
+    )
+
+    disc = MultiSTFTDiscriminator(resolutions=((128, 32),))
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, 512))
+    params = disc.init(jax.random.PRNGKey(1), wav)["params"]
+    outs = disc.apply({"params": params}, wav)
+    assert len(outs) == 1
+    logits, feats = outs[0]
+    assert logits.ndim == 3 and logits.shape[0] == 2
+    assert len(feats) == 5
+    # perfect fake == real: fm loss 0, disc loss at hinge rest point 2
+    assert float(feature_matching_loss(outs, outs)) < 1e-6
+    # rest point is exactly 2 when |logits| < 1; random init can slightly exceed
+    np.testing.assert_allclose(float(discriminator_loss(outs, outs)), 2.0, atol=0.1)
+    assert np.isfinite(float(generator_adversarial_loss(outs)))
