@@ -43,12 +43,23 @@ class FACodecTokenizer:
         params=None,
         seed: int = 0,
         bucket_seconds: float = 0.8,
+        torch_encoder_ckpt: Optional[str] = None,
+        torch_decoder_ckpt: Optional[str] = None,
     ):
+        """``torch_*_ckpt``: paths to the released
+        ``amphion/naturalspeech3_facodec`` ``ns3_facodec_{encoder,decoder}.bin``
+        files — converted name-for-name into the Flax tree (the reference
+        downloads these from HF at construction; reference:
+        audio_encoder.py:165-173)."""
         self.cfg = cfg or CodecConfig()
         self.module = FACodec(self.cfg)
         self.hop = self.cfg.hop_length
         self.bucket = int(bucket_seconds * self.cfg.sample_rate)
         assert self.bucket % self.hop == 0
+        if params is None and torch_encoder_ckpt and torch_decoder_ckpt:
+            from mamba_tts_tpu.models.facodec import load_torch_facodec
+
+            params = load_torch_facodec(torch_encoder_ckpt, torch_decoder_ckpt, self.cfg)
         if params is None:
             wav = jnp.zeros((1, self.bucket), jnp.float32)
             params = self.module.init(jax.random.PRNGKey(seed), wav)["params"]

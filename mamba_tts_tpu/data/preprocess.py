@@ -52,6 +52,7 @@ class DatasetPreprocessor:
         phoneme_vocab_path: str = "phoneme_vocab.json",
         cfg: Optional[TTSConfig] = None,
         debug: bool = False,
+        codec_ckpts: Optional[Tuple[str, str]] = None,
     ):
         self.cfg = cfg or TTSConfig()
         self.output_dir = Path(output_dir)
@@ -61,7 +62,10 @@ class DatasetPreprocessor:
         self.txt_processor = TxtProcessor()
         self.text_processor = TextProcessor(vocab_path=phoneme_vocab_path)
         self.style_encoder = StyleTextEncoder(self.cfg.style_encoder)
-        self.tokenizer = FACodecTokenizer(self.cfg.codec)
+        enc_ckpt, dec_ckpt = codec_ckpts or (None, None)
+        self.tokenizer = FACodecTokenizer(
+            self.cfg.codec, torch_encoder_ckpt=enc_ckpt, torch_decoder_ckpt=dec_ckpt
+        )
 
         self.tarballs = [tarfile.open(p, "r:*") for p in tarball_paths]
         self.audio_index: Dict[str, Tuple[tarfile.TarFile, tarfile.TarInfo]] = {}
@@ -286,9 +290,17 @@ def main(argv=None):
     parser.add_argument("--phoneme_vocab_path", type=str, default="phoneme_vocab.json")
     parser.add_argument("--flush_every", type=int, default=100)
     parser.add_argument("--debug", action="store_true", help="process only 10 rows")
+    parser.add_argument("--facodec_encoder_ckpt", type=str, default=None,
+                        help="ns3_facodec_encoder.bin (pretrained weights)")
+    parser.add_argument("--facodec_decoder_ckpt", type=str, default=None)
     args = parser.parse_args(argv)
+    ckpts = (
+        (args.facodec_encoder_ckpt, args.facodec_decoder_ckpt)
+        if args.facodec_encoder_ckpt else None
+    )
     pre = DatasetPreprocessor(
-        args.output_dir, args.tarball, args.phoneme_vocab_path, debug=args.debug
+        args.output_dir, args.tarball, args.phoneme_vocab_path, debug=args.debug,
+        codec_ckpts=ckpts,
     )
     pre.preprocess(args.csv_path, flush_every=args.flush_every)
 

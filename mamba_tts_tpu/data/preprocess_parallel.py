@@ -75,8 +75,11 @@ class BatchedStyleProcessor:
 class BatchedAudioEncoder:
     """Stage [5]: batched FACodec encode (reference: preprocess_parallel.py:177-288)."""
 
-    def __init__(self, cfg: TTSConfig, batch_size: int = 16):
-        self.tokenizer = FACodecTokenizer(cfg.codec)
+    def __init__(self, cfg: TTSConfig, batch_size: int = 16, codec_ckpts=None):
+        enc_ckpt, dec_ckpt = codec_ckpts or (None, None)
+        self.tokenizer = FACodecTokenizer(
+            cfg.codec, torch_encoder_ckpt=enc_ckpt, torch_decoder_ckpt=dec_ckpt
+        )
         self.batch_size = batch_size
 
     def encode_batch(
@@ -134,8 +137,10 @@ class ParallelDatasetPreprocessor:
         gpu_batch_size: int = 16,
         io_workers: int = 4,
         debug: bool = False,
+        codec_ckpts=None,
     ):
         self.cfg = cfg or TTSConfig()
+        self.codec_ckpts = codec_ckpts
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.cpu_workers = cpu_workers
@@ -180,7 +185,7 @@ class ParallelDatasetPreprocessor:
         print(f"[4/6] style embeddings {style_embs.shape}")
 
         # [5] batched codec encode
-        audio = BatchedAudioEncoder(self.cfg, self.gpu_batch_size)
+        audio = BatchedAudioEncoder(self.cfg, self.gpu_batch_size, self.codec_ckpts)
         codec_out = audio.encode_batch(audio_bytes)
         print("[5/6] codec encode done")
 
@@ -243,11 +248,18 @@ def main(argv=None):
     parser.add_argument("--gpu_batch_size", type=int, default=16)
     parser.add_argument("--io_workers", type=int, default=4)
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--facodec_encoder_ckpt", type=str, default=None,
+                        help="ns3_facodec_encoder.bin (pretrained weights)")
+    parser.add_argument("--facodec_decoder_ckpt", type=str, default=None)
     args = parser.parse_args(argv)
+    ckpts = (
+        (args.facodec_encoder_ckpt, args.facodec_decoder_ckpt)
+        if args.facodec_encoder_ckpt else None
+    )
     pre = ParallelDatasetPreprocessor(
         args.output_dir, args.tarball, args.phoneme_vocab_path,
         cpu_workers=args.cpu_workers, gpu_batch_size=args.gpu_batch_size,
-        io_workers=args.io_workers, debug=args.debug,
+        io_workers=args.io_workers, debug=args.debug, codec_ckpts=ckpts,
     )
     pre.preprocess(args.csv_path)
 

@@ -218,7 +218,8 @@ class Synthesizer:
 
 
 def load_synthesizer(
-    cfg: Optional[TTSConfig] = None, checkpoint_dir: Optional[str] = None, seed: int = 0
+    cfg: Optional[TTSConfig] = None, checkpoint_dir: Optional[str] = None, seed: int = 0,
+    codec_ckpts=None,
 ) -> Synthesizer:
     """Build a Synthesizer from a checkpoint (or fresh init).  When ``cfg``
     is None and the checkpoint dir has a ``config.json`` (written by the
@@ -249,7 +250,12 @@ def load_synthesizer(
             params = None
     if params is None:
         params = init_params(model, cfg, jax.random.PRNGKey(seed))
-    return Synthesizer(cfg, params)
+    tokenizer = None
+    if codec_ckpts:
+        tokenizer = FACodecTokenizer(
+            cfg.codec, torch_encoder_ckpt=codec_ckpts[0], torch_decoder_ckpt=codec_ckpts[1]
+        )
+    return Synthesizer(cfg, params, tokenizer=tokenizer)
 
 
 def main(argv=None):
@@ -263,6 +269,10 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=None)
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--facodec_encoder_ckpt", type=str, default=None,
+                        help="pretrained ns3_facodec_encoder.bin (converted "
+                             "on load; reference: audio_encoder.py:165-173)")
+    parser.add_argument("--facodec_decoder_ckpt", type=str, default=None)
     args = parser.parse_args(argv)
 
     from mamba_tts_tpu import config as config_lib
@@ -272,7 +282,11 @@ def main(argv=None):
         if args.config_json
         else TTSConfig()
     )
-    synth = load_synthesizer(cfg, args.checkpoint_dir, args.seed)
+    ckpts = (
+        (args.facodec_encoder_ckpt, args.facodec_decoder_ckpt)
+        if args.facodec_encoder_ckpt else None
+    )
+    synth = load_synthesizer(cfg, args.checkpoint_dir, args.seed, codec_ckpts=ckpts)
     wav, info = synth.synthesize(
         args.text, args.style_prompt, args.voice_wav,
         frames=args.frames, temperature=args.temperature, seed=args.seed,

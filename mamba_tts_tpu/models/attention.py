@@ -95,18 +95,28 @@ class CrossAttention(nn.Module):
         B, Tq, _ = x.shape
         q = self._split(self.q_proj(x))  # (B, H, Tq, hd)
         scale = self.head_dim ** -0.5
-        if self.use_flash and Tq >= 128 and jax.default_backend() == "tpu":
-            out = _flash_attend(q, K, V, memory_mask, scale)
-        else:
+
+        def _naive(q, K, V):
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", q, K, preferred_element_type=jnp.float32
             ) * scale
             if memory_mask is not None:
                 bias = jnp.where(memory_mask[:, None, None, :], 0.0, _NEG_INF)
                 logits = logits + bias
-            out = jnp.einsum(
+            return jnp.einsum(
                 "bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1).astype(V.dtype), V
             )
+
+        if self.use_flash and Tq >= 128:
+            # per lowering platform (one jitted graph may target a CPU mesh
+            # even when the default backend is TPU — see ops/selective_scan)
+            out = jax.lax.platform_dependent(
+                q, K, V,
+                tpu=lambda q, K, V: _flash_attend(q, K, V, memory_mask, scale),
+                default=_naive,
+            )
+        else:
+            out = _naive(q, K, V)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
         return self.o_proj(out)
 

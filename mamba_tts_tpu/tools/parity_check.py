@@ -93,8 +93,12 @@ def measure_parity(model, params, cfg, frames: int, seed: int = 0):
         fwd_masked = fwd_logits.copy()
         fwd_masked[:, :, : dec_cfg.num_special_tokens] = -1e9
         flips = (fwd_masked.argmax(-1) != tokens).mean()
-        denom = np.maximum(np.abs(dec_logits), np.abs(fwd_logits)).max()
-        rel = np.abs(dec_logits - fwd_logits) / max(denom, 1e-9)
+        # logit diffs over the REAL vocabulary only (the decode path records
+        # its special columns already masked to -1e9)
+        ns = dec_cfg.num_special_tokens
+        dl, fl = dec_logits[..., ns:], fwd_logits[..., ns:]
+        denom = np.maximum(np.abs(dl), np.abs(fl)).max()
+        rel = np.abs(dl - fl) / max(denom, 1e-9)
         gap = np.sort(fwd_masked, axis=-1)
         margin = (gap[..., -1] - gap[..., -2]).mean()  # trained top-2 margin
         results[kernel] = {
