@@ -120,20 +120,57 @@ def _mamba_step(lp, x_t, state: MambaState, cfg: DecoderConfig):
     return out, MambaState(conv=window[:, 1:], ssm=ssm_state)
 
 
-def _attend_step(lp, x_t, K, V, memory_mask, cfg: DecoderConfig):
+def quantize_kv(KV):
+    """Per-(batch, head, channel) symmetric int8 over the memory axis.
+
+    Both attention contractions run over the memory axis T, so the scales
+    attach to the NON-contracted hd axis: K's scale folds into q BEFORE the
+    q.K dot, V's scale applies AFTER the probs.V dot — the dots read int8
+    tensors directly (XLA fuses the int8->bf16 convert into the dot operand),
+    halving the dominant K/V traffic of batched decode.
+    """
+    out = []
+    for K, V in KV:
+        ks = jnp.maximum(jnp.abs(K.astype(jnp.float32)).max(axis=2, keepdims=True), 1e-8) / 127.0
+        vs = jnp.maximum(jnp.abs(V.astype(jnp.float32)).max(axis=2, keepdims=True), 1e-8) / 127.0
+        k_q = jnp.clip(jnp.round(K.astype(jnp.float32) / ks), -127, 127).astype(jnp.int8)
+        v_q = jnp.clip(jnp.round(V.astype(jnp.float32) / vs), -127, 127).astype(jnp.int8)
+        out.append({"k_q": k_q, "k_s": ks, "v_q": v_q, "v_s": vs})
+    return out
+
+
+def _attend_step(lp, x_t, KVe, memory_mask, cfg: DecoderConfig):
     """1-query attention against precomputed K/V (naive path of
-    CrossAttention.attend), q/o projections int8. x_t: (B, d)."""
+    CrossAttention.attend), q/o projections int8; K/V either full-precision
+    (K, V) tuples or int8 dicts from :func:`quantize_kv`. x_t: (B, d)."""
     B, d = x_t.shape
     dt_c = jnp.dtype(cfg.dtype)
     H = cfg.n_heads
     hd = d // H
     q = _mv(x_t, lp["q_proj"], dt_c).reshape(B, H, 1, hd)
     scale = hd ** -0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, K, preferred_element_type=jnp.float32) * scale
+    if isinstance(KVe, dict):
+        # fold K's per-channel scale (B,H,1,hd) into the single query row
+        qk = (q.astype(jnp.float32) * KVe["k_s"]).astype(dt_c)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qk, KVe["k_q"].astype(dt_c),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    else:
+        K, _ = KVe
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, K, preferred_element_type=jnp.float32
+        ) * scale
     if memory_mask is not None:
         logits = logits + jnp.where(memory_mask[:, None, None, :], 0.0, -1e9)
-    probs = jax.nn.softmax(logits, axis=-1).astype(V.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, V).reshape(B, d)
+    if isinstance(KVe, dict):
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt_c)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, KVe["v_q"].astype(dt_c))
+        out = (out.astype(jnp.float32) * KVe["v_s"]).astype(dt_c).reshape(B, d)
+    else:
+        _, V = KVe
+        probs = jax.nn.softmax(logits, axis=-1).astype(V.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, V).reshape(B, d)
     return _mv(out, lp["o_proj"], dt_c)
 
 
@@ -158,10 +195,10 @@ def quant_step_with_kv(
         + qparams["quant_embed"][q_id]
     ).astype(jnp.dtype(cfg.dtype))  # (B, d)
     new_states = []
-    for lp, (K, V), (gamma, beta), st in zip(qparams["layers"], KV, films, states):
+    for lp, KVe, (gamma, beta), st in zip(qparams["layers"], KV, films, states):
         h, ns = _mamba_step(lp, _layer_norm(x, lp["norm_mamba"]), st, cfg)
         x = x + h
-        x = x + _attend_step(lp, _layer_norm(x, lp["norm_cross"]), K, V, memory_mask, cfg)
+        x = x + _attend_step(lp, _layer_norm(x, lp["norm_cross"]), KVe, memory_mask, cfg)
         h = _layer_norm(x, lp["norm_ff"])
         h = gamma.astype(h.dtype) * h + beta.astype(h.dtype)  # FiLM (B, d)
         h = jax.nn.gelu(_mv(h, lp["ff1"], jnp.dtype(cfg.dtype)), approximate=False)
@@ -186,10 +223,13 @@ def greedy_decode_int8(
     rng: Optional[jax.Array] = None,
     collect_logits: bool = False,
     unroll: int = 4,
+    int8_kv: bool = False,
 ) -> DecodeResult:
     """greedy_decode with the int8 step.  Memory K/V, mask, and FiLM are
     projected once at full precision (outside the scan, exactly as the bf16
-    path does)."""
+    path does).  ``int8_kv`` additionally quantizes the per-layer K/V to
+    int8 (per-channel, see :func:`quantize_kv`) — the dominant traffic term
+    of BATCHED decode (B x 20.5 MB re-read per step at flagship shape)."""
     c = decoder.cfg
     B = text_hidden.shape[0]
     total = c.num_quantizers * frames_per_stream
@@ -198,6 +238,8 @@ def greedy_decode_int8(
         variables, text_hidden, text_mask, ref_hidden, ref_mask, z_style,
         method=MambaTTSDecoder.project_memories,
     )
+    if int8_kv:
+        KV = quantize_kv(KV)
     cc = c.with_mamba_dims()
     states0 = [
         init_mamba_state(cc.mamba, B, dtype=jnp.dtype(c.dtype))

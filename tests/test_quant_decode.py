@@ -133,3 +133,28 @@ def test_int8_decode_close_to_full_precision():
     lf = np.asarray(res_f.logits, np.float32)
     denom = max(np.abs(lf).max(), 1e-6)
     assert np.abs(lq - lf).max() / denom < 0.05
+
+
+def test_int8_kv_decode_close_to_full_precision():
+    """int8 K/V on top of int8 weights stays within a few percent of the
+    full-precision logits on random weights."""
+    from mamba_tts_tpu.infer.quant_decode import (
+        greedy_decode_int8,
+        quantize_decoder_params,
+    )
+
+    dec, variables, th, z, tm, rh, rm, F = _setup()
+    qparams = quantize_decoder_params(variables["params"], CFG)
+    res_q = greedy_decode_int8(
+        dec, variables, qparams, th, z, F,
+        text_mask=tm, ref_hidden=rh, ref_mask=rm, collect_logits=True,
+        int8_kv=True,
+    )
+    res_f = greedy_decode(
+        dec, variables, th, z, F,
+        text_mask=tm, ref_hidden=rh, ref_mask=rm, collect_logits=True,
+    )
+    lq = np.asarray(res_q.logits, np.float32)
+    lf = np.asarray(res_f.logits, np.float32)
+    denom = max(np.abs(lf).max(), 1e-6)
+    assert np.abs(lq - lf).max() / denom < 0.06
