@@ -84,10 +84,15 @@ def main():
         # KV-bound and prefers no unrolling (benchmarks/batched_decode_bench).
         unroll = 8 if B == 1 else 1
         if kind == "int8":
+            # Batched decode is K/V-traffic-bound: int8 K/V (per-channel,
+            # quant_decode.quantize_kv) halves the dominant term — measured
+            # 22.3k vs 19.5k tok/s at B=8 on v5e.  At B=1 the K/V read is
+            # small next to the weight read; full-precision K/V wins there.
             return jax.jit(
                 lambda: greedy_decode_int8(
                     dec, variables, qparams, th, z, F, text_mask=tm,
                     ref_hidden=rh, ref_mask=rm, unroll=unroll,
+                    int8_kv=(B > 1),
                 ).tokens
             )
         return jax.jit(

