@@ -1,0 +1,489 @@
+"""Single-Pallas-call autoregressive decode ("megakernel", B=1 latency path).
+
+The step-scan decodes (models/decoder.py greedy_decode, infer/quant_decode)
+dispatch ~64 XLA/Pallas ops per token; measured per-step cost at B=1 is
+~105 us against ~56 us of int8 weight-read HBM time — the gap is pipeline
+flushes between kernels, not bytes.  This kernel runs the ENTIRE greedy
+decode as ONE ``pallas_call`` with ``grid=(Q*F,)``:
+
+- every weight tensor is an input whose ``index_map`` is constant, so Pallas
+  DMAs it into VMEM once and keeps it resident for all 5120 grid steps
+  (int8 weights ~34 MB + bf16 K/V ~26 MB + tables fit the 128 MB VMEM);
+- the SSM / conv states, and the previous token (as a one-hot row), live in
+  persistent VMEM scratch across grid steps;
+- per step the kernel embeds the token (one-hot matmul — no dynamic
+  gather), runs all ``n_layers`` (Mamba step -> 1-query cross-attention
+  -> FiLM FFN) inline, projects the vocab head, and emits the masked
+  logits row; the argmax feeds the next step's one-hot.
+
+Per-token HBM traffic drops to one (1, d) positional-embedding read and one
+(1, Vpad) logits write — decode becomes compute/issue-bound instead of
+bandwidth-bound.
+
+Numerics mirror ``infer/quant_decode.quant_step_with_kv`` exactly (same
+int8 per-output-channel weight quantization from ``quantize_decoder_params``,
+same f32 LayerNorm/softmax/accumulation points, exact erf GELU); parity is
+pinned by ``tests/test_decode_megakernel.py`` against the step-scan path.
+
+Reference: the synthesis loop the upstream repo documents but never ships
+(reference: mamba_decoder.py:188-256, README.md:14-28).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mamba_tts_tpu.config import DecoderConfig
+from mamba_tts_tpu.models.decoder import DecodeResult, MambaTTSDecoder
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class _Plan(NamedTuple):
+    """Everything the kernel needs, shaped for VMEM residency (B=1)."""
+
+    emb_pq: jax.Array      # (total, d) bf16: pos+quant embedding per step
+    token_embed: jax.Array # (Vpad, d) bf16
+    norms: jax.Array       # (L, 6, d) f32: [m_s, m_b, c_s, c_b, f_s, f_b]
+    in_w: jax.Array        # (L, d, 2*di) int8
+    in_s: jax.Array        # (L, 1, 2*di) f32
+    conv_w: jax.Array      # (L, dc, di) bf16
+    conv_b: jax.Array      # (L, 1, di) f32
+    xp_dt: jax.Array       # (L, di, r) bf16
+    xp_B: jax.Array        # (L, di, N) bf16
+    xp_C: jax.Array        # (L, di, N) bf16
+    dt_w: jax.Array        # (L, r, di) bf16
+    dt_b: jax.Array        # (L, 1, di) f32
+    A: jax.Array           # (L, N, di) f32 (= -exp(A_log), transposed)
+    D: jax.Array           # (L, 1, di) f32
+    out_w: jax.Array       # (L, di, d) int8
+    out_s: jax.Array       # (L, 1, d) f32
+    q_w: jax.Array         # (L, H, d, hd) int8 (per-head column blocks)
+    q_s: jax.Array         # (L, H, 1, hd) f32
+    q_b: jax.Array         # (L, H, 1, hd) f32
+    K: jax.Array           # (L, H, hd, Tmp) bf16 (transposed: scores = q @ K)
+    V: jax.Array           # (L, H, Tmp, hd) bf16
+    mask_row: jax.Array    # (1, Tmp) f32 additive bias (0 valid / -1e9)
+    o_w: jax.Array         # (L, d, d) int8
+    o_s: jax.Array         # (L, 1, d) f32
+    o_b: jax.Array         # (L, 1, d) f32
+    gamma: jax.Array       # (L, 1, d) f32 FiLM scale
+    beta: jax.Array        # (L, 1, d) f32 FiLM shift
+    ff1_w: jax.Array       # (L, d, dff) int8
+    ff1_s: jax.Array       # (L, 1, dff) f32
+    ff1_b: jax.Array       # (L, 1, dff) f32
+    ff2_w: jax.Array       # (L, dff, d) int8
+    ff2_s: jax.Array       # (L, 1, d) f32
+    ff2_b: jax.Array       # (L, 1, d) f32
+    norm_out: jax.Array    # (2, d) f32
+    head_w: jax.Array      # (d, Vpad) f32
+    head_b: jax.Array      # (1, Vpad) f32, -1e9 at specials and pad columns
+
+
+def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
+                films, frames_per_stream: int) -> _Plan:
+    """Stack per-layer decode params + memories into kernel-resident arrays.
+
+    ``qparams`` is ``infer.quant_decode.quantize_decoder_params`` output;
+    ``KV``/``memory_mask``/``films`` come from
+    ``MambaTTSDecoder.project_memories`` (B=1).
+    """
+    c = cfg
+    m = c.with_mamba_dims().mamba
+    L, d, di, N, r = c.n_layers, c.d_model, m.d_inner, m.d_state, m.dt_rank_actual
+    H = c.n_heads
+    hd = d // H
+    bf = jnp.bfloat16
+
+    Vreal = c.vocab_size_audio
+    Vpad = _round_up(Vreal, 128)
+    total = c.num_quantizers * frames_per_stream
+
+    # --- per-step pos+quant embedding (streamed (1, d) per grid step) ---
+    steps = jnp.arange(total, dtype=jnp.int32)
+    q_id = jnp.minimum(steps // frames_per_stream, c.num_quantizers - 1)
+    pos_id = steps % frames_per_stream
+    emb_pq = (qparams["pos_embed"][pos_id] + qparams["quant_embed"][q_id]).astype(bf)
+
+    te = jnp.zeros((Vpad, d), bf).at[:Vreal].set(qparams["token_embed"].astype(bf))
+
+    def stack(fn):
+        return jnp.stack([fn(qparams["layers"][i]) for i in range(L)])
+
+    norms = stack(lambda lp: jnp.stack([
+        lp["norm_mamba"]["scale"], lp["norm_mamba"]["bias"],
+        lp["norm_cross"]["scale"], lp["norm_cross"]["bias"],
+        lp["norm_ff"]["scale"], lp["norm_ff"]["bias"],
+    ]).astype(jnp.float32))
+
+    xp = stack(lambda lp: lp["x_proj_k"].astype(bf))  # (L, di, r+2N)
+
+    # attention q-projection re-packed per head so the kernel never slices
+    # activations at non-128 lane offsets
+    q_w = stack(lambda lp: lp["q_proj"]["w_q"]).reshape(L, d, H, hd)
+    q_w = jnp.transpose(q_w, (0, 2, 1, 3))  # (L, H, d, hd)
+    q_s = stack(lambda lp: lp["q_proj"]["scale"]).reshape(L, H, 1, hd)
+    q_b = stack(lambda lp: lp["q_proj"]["bias"]).reshape(L, H, 1, hd)
+
+    # memories: (K, V) per layer, each (1, H, Tm, hd); K transposed to
+    # (L, H, hd, Tmp) so in-kernel scores are the standard (1,K)@(K,N) form
+    # (Mosaic's (1,),(1,) matvec lowering emits a type-mismatched broadcast)
+    Tm = KV[0][0].shape[2]
+    Tmp = _round_up(Tm, 128)
+    Kst = jnp.stack([kv[0][0] for kv in KV])
+    Vst = jnp.stack([kv[1][0] for kv in KV])
+    pad_t = ((0, 0), (0, 0), (0, Tmp - Tm), (0, 0))
+    Kst = jnp.transpose(jnp.pad(Kst.astype(bf), pad_t), (0, 1, 3, 2))
+    Vst = jnp.pad(Vst.astype(bf), pad_t)
+
+    if memory_mask is None:
+        valid = jnp.ones((Tm,), bool)
+    else:
+        valid = memory_mask[0]
+    mask_row = jnp.where(
+        jnp.pad(valid, (0, Tmp - Tm)), 0.0, -1e9
+    ).astype(jnp.float32)[None, :]
+
+    gamma = jnp.stack([g.astype(jnp.float32) for g, _ in films])[:, :1, :]
+    beta = jnp.stack([b.astype(jnp.float32) for _, b in films])[:, :1, :]
+
+    head_w = jnp.zeros((d, Vpad), jnp.float32).at[:, :Vreal].set(
+        qparams["head_k"].astype(jnp.float32)
+    )
+    head_b = jnp.full((Vpad,), -1e9, jnp.float32).at[:Vreal].set(
+        qparams["head_b"].astype(jnp.float32)
+    )
+    head_b = head_b.at[: c.num_special_tokens].set(-1e9)[None]
+
+    return _Plan(
+        emb_pq=emb_pq,
+        token_embed=te,
+        norms=norms,
+        in_w=stack(lambda lp: lp["in_proj"]["w_q"]),
+        in_s=stack(lambda lp: lp["in_proj"]["scale"])[:, None, :],
+        conv_w=stack(lambda lp: lp["conv_w"].astype(bf)),
+        conv_b=stack(
+            lambda lp: (lp["conv_b"] if lp["conv_b"] is not None
+                        else jnp.zeros((di,))).astype(jnp.float32)
+        )[:, None, :],
+        xp_dt=xp[:, :, :r],
+        xp_B=xp[:, :, r:r + N],
+        xp_C=xp[:, :, r + N:],
+        dt_w=stack(lambda lp: lp["dt_proj_k"].astype(bf)),
+        dt_b=stack(lambda lp: lp["dt_proj_b"].astype(jnp.float32))[:, None, :],
+        A=jnp.stack([qparams["layers"][i]["A"].T for i in range(L)]).astype(jnp.float32),
+        D=stack(lambda lp: lp["D"].astype(jnp.float32))[:, None, :],
+        out_w=stack(lambda lp: lp["out_proj"]["w_q"]),
+        out_s=stack(lambda lp: lp["out_proj"]["scale"])[:, None, :],
+        q_w=q_w, q_s=q_s, q_b=q_b,
+        K=Kst, V=Vst, mask_row=mask_row,
+        o_w=stack(lambda lp: lp["o_proj"]["w_q"]),
+        o_s=stack(lambda lp: lp["o_proj"]["scale"])[:, None, :],
+        o_b=stack(lambda lp: lp["o_proj"]["bias"])[:, None, :],
+        gamma=gamma, beta=beta,
+        ff1_w=stack(lambda lp: lp["ff1"]["w_q"]),
+        ff1_s=stack(lambda lp: lp["ff1"]["scale"])[:, None, :],
+        ff1_b=stack(lambda lp: lp["ff1"]["bias"])[:, None, :],
+        ff2_w=stack(lambda lp: lp["ff2"]["w_q"]),
+        ff2_s=stack(lambda lp: lp["ff2"]["scale"])[:, None, :],
+        ff2_b=stack(lambda lp: lp["ff2"]["bias"])[:, None, :],
+        norm_out=jnp.stack(
+            [qparams["norm_out"]["scale"], qparams["norm_out"]["bias"]]
+        ).astype(jnp.float32),
+        head_w=head_w,
+        head_b=head_b,
+    )
+
+
+def _ln(x, scale, bias, eps=1e-6):
+    """f32 LayerNorm over lanes; mirrors quant_decode._layer_norm."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+    return y.astype(x.dtype)
+
+
+def _dq_dot(x, w_q, scale, bias=None):
+    """x (1, K) bf16 @ int8 (K, N): f32 accumulate, per-channel dequant —
+    same op order as ops/int8_matvec's kernel."""
+    acc = jax.lax.dot_general(
+        x, w_q.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = (acc * scale).astype(jnp.bfloat16)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def _silu(x):
+    """x * sigmoid(x), sigmoid evaluated in f32 — Mosaic's bf16 ``logistic``
+    lowering emits a type-mismatched vector.broadcast (f32 constant into a
+    bf16 vector) and fails verification; explicit f32 exp avoids it."""
+    xf = x.astype(jnp.float32)
+    return (xf / (1.0 + jnp.exp(-xf))).astype(x.dtype)
+
+
+def _gelu_exact(x):
+    """0.5 * x * (1 + erf(x / sqrt(2))) with a rational-polynomial erf.
+
+    Mosaic lowers neither ``erfc`` (jax.nn.gelu exact path) nor ``erf``, so
+    the kernel evaluates Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7 —
+    three orders below the int8 path's own quantization noise; pinned by the
+    parity tests, which compare against the true-erf step scan)."""
+    xf = x.astype(jnp.float32)
+    u = jnp.abs(xf) * (2.0 ** -0.5)
+    t = 1.0 / (1.0 + 0.3275911 * u)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-u * u)
+    erf = jnp.sign(xf) * erf_abs
+    y = 0.5 * xf * (1.0 + erf)
+    return y.astype(x.dtype)
+
+
+def _outer(a, b):
+    """(1, N) x (1, D) -> (N, D) via a contraction over the unit dim (no
+    transposes — Mosaic-friendly)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool):
+    c = cfg
+    m = c.with_mamba_dims().mamba
+    L, d, di, N = c.n_layers, c.d_model, m.d_inner, m.d_state
+    H = c.n_heads
+    hd = d // H
+    att_scale = hd ** -0.5
+
+    def kernel(*refs):
+        if teacher_force:
+            forced_ref, refs = refs[0], refs[1:]
+        (
+            emb_ref, te_ref, norms_ref, in_w_ref, in_s_ref, conv_w_ref,
+            conv_b_ref, xp_dt_ref, xp_B_ref, xp_C_ref, dt_w_ref, dt_b_ref,
+            A_ref, D_ref, out_w_ref, out_s_ref, q_w_ref, q_s_ref, q_b_ref,
+            K_ref, V_ref, mask_ref, o_w_ref, o_s_ref, o_b_ref, gamma_ref,
+            beta_ref, ff1_w_ref, ff1_s_ref, ff1_b_ref, ff2_w_ref, ff2_s_ref,
+            ff2_b_ref, no_ref, head_w_ref, head_b_ref,
+            logits_ref,
+            oh_s, conv_s, ssm_s,
+        ) = refs
+        t = pl.program_id(0)
+        Vpad = oh_s.shape[1]
+
+        @pl.when(t == 0)
+        def _():
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, Vpad), 1)
+            oh_s[:] = (iota == bos_id).astype(jnp.bfloat16)
+            conv_s[:] = jnp.zeros_like(conv_s)
+            ssm_s[:] = jnp.zeros_like(ssm_s)
+
+        # ---- embed: one-hot matmul + per-step pos/quant row -------------
+        oh = forced_ref[0] if teacher_force else oh_s[...]
+        x = jax.lax.dot_general(
+            oh, te_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16) + emb_ref[0]  # (1, d)
+
+        for l in range(L):
+            nb = norms_ref[l]  # (6, d) f32
+            # ---- Mamba step --------------------------------------------
+            h = _ln(x, nb[0:1], nb[1:2])
+            xz = _dq_dot(h, in_w_ref[l], in_s_ref[l])  # (1, 2*di)
+            xin, z = xz[:, :di], xz[:, di:]
+            window = jnp.concatenate([conv_s[l].astype(xin.dtype), xin], axis=0)
+            conv_s[l] = window[1:]
+            conv_out = (window * conv_w_ref[l].astype(xin.dtype)).sum(
+                axis=0, keepdims=True
+            ) + conv_b_ref[l].astype(xin.dtype)
+            xc = _silu(conv_out)  # (1, di)
+            # bf16-rounded projections, exactly as the step-scan path
+            # (Mosaic requires a 32-bit matmul accumulator, so accumulate f32
+            # and round to bf16 — same result as XLA's bf16-out dot)
+            def _dot_bf16(a, w):
+                return jax.lax.dot_general(
+                    a, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+
+            dt_raw = _dot_bf16(xc, xp_dt_ref[l])  # (1, r) bf16
+            Bm = _dot_bf16(xc, xp_B_ref[l]).astype(jnp.float32)  # (1, N)
+            Cm = _dot_bf16(xc, xp_C_ref[l]).astype(jnp.float32)
+            dt = jax.nn.softplus(
+                _dot_bf16(dt_raw, dt_w_ref[l]).astype(jnp.float32)
+                + dt_b_ref[l]
+            )  # (1, di) f32
+            a = jnp.exp(dt * A_ref[l])  # (N, di), decay in (0, 1]
+            b_in = _outer(Bm, dt * xc.astype(jnp.float32))  # (N, di)
+            h_new = a * ssm_s[l] + b_in
+            ssm_s[l] = h_new
+            y = jax.lax.dot_general(
+                Cm, h_new, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + xc.astype(jnp.float32) * D_ref[l]  # (1, di)
+            y = y.astype(jnp.bfloat16)
+            y = y * _silu(z)
+            x = x + _dq_dot(y, out_w_ref[l], out_s_ref[l])
+
+            # ---- 1-query cross-attention -------------------------------
+            h = _ln(x, nb[2:3], nb[3:4])
+            outs = []
+            for hh in range(H):
+                q_h = _dq_dot(h, q_w_ref[l, hh], q_s_ref[l, hh], q_b_ref[l, hh])
+                scores = jax.lax.dot_general(
+                    q_h, K_ref[l, hh], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * att_scale + mask_ref[...]  # (1, Tmp)
+                p = jax.nn.softmax(scores, axis=1).astype(jnp.bfloat16)
+                outs.append(
+                    jax.lax.dot_general(
+                        p, V_ref[l, hh], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.bfloat16)
+                )  # (1, hd)
+            attn = jnp.concatenate(outs, axis=1)  # (1, d)
+            x = x + _dq_dot(attn, o_w_ref[l], o_s_ref[l], o_b_ref[l])
+
+            # ---- FiLM FFN ----------------------------------------------
+            h = _ln(x, nb[4:5], nb[5:6])
+            h = gamma_ref[l].astype(h.dtype) * h + beta_ref[l].astype(h.dtype)
+            h1 = _gelu_exact(_dq_dot(h, ff1_w_ref[l], ff1_s_ref[l], ff1_b_ref[l]))
+            x = x + _dq_dot(h1, ff2_w_ref[l], ff2_s_ref[l], ff2_b_ref[l])
+
+        # ---- vocab head + greedy token ----------------------------------
+        xf = _ln(x, no_ref[0:1], no_ref[1:2]).astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            xf, head_w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + head_b_ref[...]  # (1, Vpad), masked at specials/pads
+        logits_ref[0] = logits
+        if not teacher_force:
+            mx = logits.max(axis=1, keepdims=True)
+            iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            idx = jnp.where(logits == mx, iota, jnp.int32(2 ** 30)).min(
+                axis=1, keepdims=True
+            )  # first argmax, (1, 1)
+            oh_s[:] = (iota == idx).astype(jnp.bfloat16)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "frames_per_stream", "interpret")
+)
+def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
+                     interpret: bool, forced_oh: Optional[jax.Array] = None):
+    c = cfg
+    total = c.num_quantizers * frames_per_stream
+    Vpad = plan.token_embed.shape[0]
+    m = c.with_mamba_dims().mamba
+    L, di, N = c.n_layers, m.d_inner, m.d_state
+    teacher_force = forced_oh is not None
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(
+            arr.shape, lambda t, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM
+        )
+
+    def step_spec(arr):
+        # streamed per-step rows ride a (total, 1, d) layout: the TPU
+        # lowering requires the LAST TWO block dims to divide (8, 128) or
+        # equal the array dims, so the step axis must be a leading dim.
+        return pl.BlockSpec((1, 1, arr.shape[2]), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    operands = []
+    in_specs = []
+    if teacher_force:
+        operands.append(forced_oh[:, None, :])
+        in_specs.append(step_spec(operands[-1]))
+    for name, arr in plan._asdict().items():
+        if name == "emb_pq":
+            operands.append(arr[:, None, :])
+            in_specs.append(step_spec(operands[-1]))
+        else:
+            operands.append(arr)
+            in_specs.append(const_spec(arr))
+
+    logits = pl.pallas_call(
+        _make_kernel(c, c.bos_id, teacher_force),
+        grid=(total,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, Vpad), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, 1, Vpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, Vpad), jnp.bfloat16),        # one-hot last token
+            pltpu.VMEM((L, m.d_conv - 1, di), jnp.bfloat16),  # conv state
+            pltpu.VMEM((L, N, di), jnp.float32),        # SSM state
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return logits
+
+
+def megakernel_greedy_decode(
+    decoder: MambaTTSDecoder,
+    variables,
+    qparams: dict,
+    text_hidden: jax.Array,
+    z_style: jax.Array,
+    frames_per_stream: int,
+    text_mask: Optional[jax.Array] = None,
+    ref_hidden: Optional[jax.Array] = None,
+    ref_mask: Optional[jax.Array] = None,
+    collect_logits: bool = False,
+    interpret: Optional[bool] = None,
+    forced_tokens: Optional[jax.Array] = None,
+) -> DecodeResult:
+    """Greedy decode of the full utterance in one fused Pallas kernel.
+
+    Same contract as ``infer.quant_decode.greedy_decode_int8`` restricted to
+    B=1 / temperature=0 (the latency serving shape).  ``interpret=None``
+    auto-selects interpret mode off-TPU so CPU tests run the identical code.
+
+    ``forced_tokens`` (total,) switches to teacher forcing: step t embeds
+    ``forced_tokens[t]`` instead of the previous argmax (tests pin per-step
+    logits against the step-scan path without feedback divergence).
+    """
+    c = decoder.cfg
+    if text_hidden.shape[0] != 1:
+        raise ValueError("megakernel decode is the B=1 latency path")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    KV, memory_mask, films = decoder.apply(
+        variables, text_hidden, text_mask, ref_hidden, ref_mask, z_style,
+        method=MambaTTSDecoder.project_memories,
+    )
+    plan = _build_plan(c, qparams, KV, memory_mask, films, frames_per_stream)
+    forced_oh = None
+    if forced_tokens is not None:
+        Vpad = plan.token_embed.shape[0]
+        forced_oh = jax.nn.one_hot(
+            forced_tokens.reshape(-1), Vpad, dtype=jnp.bfloat16
+        )
+    logits = _megakernel_call(c, plan, frames_per_stream, interpret, forced_oh)
+    logits = logits[:, 0, :]  # (total, Vpad)
+    tokens = jnp.argmax(logits, axis=1).astype(jnp.int32)[None]  # (1, total)
+    if collect_logits:
+        return DecodeResult(tokens=tokens,
+                            logits=logits[None, :, : c.vocab_size_audio])
+    return DecodeResult(tokens=tokens, logits=jnp.zeros((1, 0)))

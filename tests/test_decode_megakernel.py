@@ -1,0 +1,126 @@
+"""Decode-megakernel parity: the single-pallas_call decode (interpret mode on
+CPU = identical kernel code) against the step-scan int8 path it replaces."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_tts_tpu.config import DecoderConfig, MambaConfig
+from mamba_tts_tpu.infer.quant_decode import (
+    quant_step_with_kv,
+    quantize_decoder_params,
+)
+from mamba_tts_tpu.models.decoder import MambaTTSDecoder
+from mamba_tts_tpu.models.mamba import init_mamba_state
+from mamba_tts_tpu.ops.decode_megakernel import megakernel_greedy_decode
+
+
+def _tiny(num_quantizers=2):
+    return DecoderConfig(
+        codebook_size=16,
+        d_model=64,
+        n_layers=2,
+        n_heads=4,
+        d_ff=128,
+        d_style=32,
+        max_len=256,
+        num_quantizers=num_quantizers,
+        mamba=MambaConfig(d_model=64, d_state=4),
+        dtype="bfloat16",
+        scan_chunk=8,
+        use_pallas=False,
+    )
+
+
+def _setup(cfg, seed=0):
+    dec = MambaTTSDecoder(cfg)
+    T_text, T_ref = 7, 11
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    audio = jax.random.randint(ks[0], (1, cfg.num_quantizers, 4), 2, cfg.vocab_size_audio)
+    th = jax.random.normal(ks[1], (1, T_text, cfg.d_model), jnp.bfloat16)
+    z = jax.random.normal(ks[2], (1, cfg.d_style), jnp.bfloat16)
+    rh = jax.random.normal(ks[3], (1, T_ref, cfg.d_model), jnp.bfloat16)
+    tm = jnp.arange(T_text)[None] < T_text - 2  # ragged mask
+    rm = jnp.ones((1, T_ref), bool)
+    variables = dec.init(ks[4], audio, th, z, tm, rh, rm)
+    qparams = quantize_decoder_params(variables["params"], cfg)
+    return dec, variables, qparams, th, z, tm, rh, rm
+
+
+def _step_scan_logits(dec, variables, qparams, th, z, tm, rh, rm, forced, F):
+    """Reference: per-step quant_step_with_kv with forced input tokens."""
+    c = dec.cfg
+    KV, memory_mask, films = dec.apply(
+        variables, th, tm, rh, rm, z, method=MambaTTSDecoder.project_memories
+    )
+    cc = c.with_mamba_dims()
+    states = [init_mamba_state(cc.mamba, 1, dtype=jnp.bfloat16)
+              for _ in range(c.n_layers)]
+    out = []
+    for t in range(forced.shape[0]):
+        logits, states = quant_step_with_kv(
+            qparams, c, forced[t][None, None], KV, memory_mask, films,
+            states, jnp.asarray(t), F,
+        )
+        out.append(logits[0, 0])
+    return jnp.stack(out)  # (total, V)
+
+
+def test_teacher_forced_logits_match_step_scan():
+    cfg = _tiny()
+    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg)
+    F = 4
+    total = cfg.num_quantizers * F
+    key = jax.random.PRNGKey(42)
+    forced = jnp.concatenate([
+        jnp.array([cfg.bos_id], jnp.int32),
+        jax.random.randint(key, (total - 1,), 2, cfg.vocab_size_audio),
+    ])
+
+    res = megakernel_greedy_decode(
+        dec, variables, qparams, th, z, F, text_mask=tm, ref_hidden=rh,
+        ref_mask=rm, collect_logits=True, forced_tokens=forced,
+    )
+    got = np.asarray(res.logits[0], np.float32)  # (total, V)
+
+    ref = np.asarray(
+        _step_scan_logits(dec, variables, qparams, th, z, tm, rh, rm, forced, F),
+        np.float32,
+    )
+    # identical int8 weights; differences are bf16 op-order only.  Compare on
+    # the real token columns (specials are -1e9-masked in the kernel).
+    sp = cfg.num_special_tokens
+    g, r = got[:, sp:], ref[:, sp:]
+    denom = np.abs(r).max()
+    assert np.abs(g - r).max() / denom < 3e-2, np.abs(g - r).max() / denom
+    # argmax agreement under teacher forcing (no divergence cascade)
+    agree = (g.argmax(1) == r.argmax(1)).mean()
+    assert agree >= 0.9, agree
+
+
+def test_greedy_stream_contract():
+    cfg = _tiny(num_quantizers=3)
+    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg, seed=3)
+    F = 4
+    res = megakernel_greedy_decode(
+        dec, variables, qparams, th, z, F, text_mask=tm, ref_hidden=rh,
+        ref_mask=rm, collect_logits=True,
+    )
+    total = cfg.num_quantizers * F
+    assert res.tokens.shape == (1, total)
+    toks = np.asarray(res.tokens[0])
+    assert (toks >= cfg.num_special_tokens).all() and (toks < cfg.vocab_size_audio).all()
+    assert np.isfinite(np.asarray(res.logits[0, :, cfg.num_special_tokens:])).all()
+
+    # the first step has no feedback: it must match the step-scan argmax
+    forced0 = jnp.array([cfg.bos_id], jnp.int32)
+    ref0 = _step_scan_logits(dec, variables, qparams, th, z, tm, rh, rm, forced0, F)
+    assert int(np.asarray(ref0)[0, cfg.num_special_tokens:].argmax()) + cfg.num_special_tokens == int(toks[0])
+
+
+def test_batch_gt1_rejected():
+    cfg = _tiny()
+    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg)
+    th2 = jnp.concatenate([th, th], axis=0)
+    with pytest.raises(ValueError):
+        megakernel_greedy_decode(dec, variables, qparams, th2, z, 4)
