@@ -12,9 +12,11 @@ tokens) and a 50-phoneme text, batch 1, on one chip.  RTF = wall / 12.8 s.
 Serving posture: weights are CLOSED OVER by the jitted decode (compile-time
 constants, fixed per checkpoint) — measured +41% over params-as-arguments on
 v5e (XLA pins the ~93 MB of weights + 20 MB K/V in the 128 MB VMEM instead
-of re-streaming them from HBM every step).  Headline = bf16 weights
-(precision-exact with training); extras report the int8 weight-streaming
-path (ops/int8_matvec.py) and the B=8 batched serving shape.
+of re-streaming them from HBM every step).  Headline = the fastest correct
+B=1 serving path: the decode megakernel (ops/decode_megakernel.py — the whole
+greedy decode as ONE pallas_call, int8 weights VMEM-resident) when it
+compiles in time, else the bf16 step scan.  Extras report the bf16 scan, the
+int8 weight-streaming scan (ops/int8_matvec.py) and the B=8 batched shape.
 
 Extras include roofline accounting vs HBM peak; with constants resident in
 VMEM the B=1 "HBM fraction" exceeds 1 by design — the bytes simply no longer
@@ -23,6 +25,8 @@ move through HBM.  B=8 K/V (8 x 20.5 MB) cannot fit and stays HBM-bound.
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import jax
@@ -31,6 +35,9 @@ import jax.numpy as jnp
 # TPU v5e (this bench's target chip): 819 GB/s HBM, 197 bf16 TFLOP/s.
 HBM_PEAK = 819e9
 FLOPS_PEAK = 197e12
+
+F = 1024  # frames per stream (12.8 s of audio)
+T_text, T_ref = 50, 1200  # 3 s voice prompt x 5 streams
 
 
 def _cast_params_bf16(params):
@@ -46,20 +53,18 @@ def _cast_params_bf16(params):
     return jax.tree_util.tree_map_with_path(cast, params)
 
 
-def main():
+def _flagship_setup():
+    """Flagship decoder + fixed random conditioning at the headline scenario
+    shapes.  Deterministic (seed 0) so every invocation — including the
+    megakernel child process — traces byte-identical HLO and hits the
+    remote-compile cache."""
     from __graft_entry__ import _flagship_cfg
-    from mamba_tts_tpu.infer.quant_decode import (
-        greedy_decode_int8,
-        quantize_decoder_params,
-    )
-    from mamba_tts_tpu.models.decoder import MambaTTSDecoder, greedy_decode
+    from mamba_tts_tpu.infer.quant_decode import quantize_decoder_params
+    from mamba_tts_tpu.models.decoder import MambaTTSDecoder
 
     cfg = _flagship_cfg()
     dec = MambaTTSDecoder(cfg)
-
-    F = 1024  # frames per stream (12.8 s of audio)
     Q = cfg.num_quantizers
-    T_text, T_ref = 50, 1200  # 3 s voice prompt x 5 streams
 
     ks = jax.random.split(jax.random.PRNGKey(0), 6)
     audio_tokens = jax.random.randint(ks[0], (1, Q, 8), 2, cfg.vocab_size_audio)
@@ -73,6 +78,49 @@ def main():
     )
     variables = {"params": _cast_params_bf16(variables["params"])}
     qparams = quantize_decoder_params(variables["params"], cfg)
+    return cfg, dec, variables, qparams, th1, z1, rh1
+
+
+def _timeit(fn, reps=3):
+    # device_get (not block_until_ready) — the tunneled TPU backend's
+    # block_until_ready does not reliably block.
+    jax.device_get(fn())  # compile + warm-up
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _mega_child():
+    """Child-process entry: megakernel decode at the headline scenario.
+    Runs in a subprocess so a cold Mosaic compile (minutes on the
+    remote-compile service) can time out without hanging the bench."""
+    from mamba_tts_tpu.ops.decode_megakernel import megakernel_greedy_decode
+
+    cfg, dec, variables, qparams, th1, z1, rh1 = _flagship_setup()
+    tm = jnp.ones((1, T_text), bool)
+    rm = jnp.ones((1, T_ref), bool)
+    fn = jax.jit(
+        lambda: megakernel_greedy_decode(
+            dec, variables, qparams, th1, z1, F, text_mask=tm,
+            ref_hidden=rh1, ref_mask=rm, interpret=False,
+        ).tokens
+    )
+    wall = _timeit(fn)
+    print(json.dumps({
+        "tokens_per_sec": round(cfg.num_quantizers * F / wall, 1),
+        "wall_s": round(wall, 4),
+    }))
+
+
+def main():
+    from mamba_tts_tpu.infer.quant_decode import greedy_decode_int8
+    from mamba_tts_tpu.models.decoder import greedy_decode
+
+    cfg, dec, variables, qparams, th1, z1, rh1 = _flagship_setup()
+    Q = cfg.num_quantizers
 
     def make_fn(B, kind):
         th = jnp.broadcast_to(th1, (B, T_text, cfg.d_model))
@@ -102,29 +150,37 @@ def main():
             ).tokens
         )
 
-    def timeit(fn, reps=3):
-        # device_get (not block_until_ready) — the tunneled TPU backend's
-        # block_until_ready does not reliably block.
-        jax.device_get(fn())  # compile + warm-up
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.device_get(fn())
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    best = timeit(make_fn(1, "bf16"))
-    extras = {}
+    best = _timeit(make_fn(1, "bf16"))
+    extras = {"bf16_tokens_per_sec_b1": round(Q * F / best, 1)}
     for B, kind, key in ((8, "bf16", "batched_tokens_per_sec_b8"),
                          (1, "int8", "int8_tokens_per_sec_b1"),
                          (8, "int8", "int8_tokens_per_sec_b8")):
         try:
-            wall = timeit(make_fn(B, kind), reps=2)
+            wall = _timeit(make_fn(B, kind), reps=2)
             extras[key] = round(B * Q * F / wall, 1)
             if key == "batched_tokens_per_sec_b8":
                 extras["wall_s_b8"] = round(wall, 3)
         except Exception as e:  # keep the headline robust
             extras[key] = f"error: {type(e).__name__}"
+
+    # Megakernel decode (the fastest B=1 serving path): isolated in a child
+    # process with a hard timeout — a cold Mosaic compile takes minutes on
+    # the remote-compile service and must never wedge the bench.  When it
+    # succeeds it IS the headline (production latency path, quant="megakernel"
+    # in infer/synthesize); the step-scan numbers stay in extras.
+    decode_path = "bf16_step_scan"
+    try:
+        child = subprocess.run(
+            [sys.executable, __file__, "--megakernel-child"],
+            capture_output=True, text=True, timeout=1500, check=True,
+        )
+        mega = json.loads(child.stdout.strip().splitlines()[-1])
+        extras["megakernel_tokens_per_sec_b1"] = mega["tokens_per_sec"]
+        if mega["wall_s"] < best:
+            best = mega["wall_s"]
+            decode_path = "megakernel"
+    except Exception as e:
+        extras["megakernel_tokens_per_sec_b1"] = f"error: {type(e).__name__}"
 
     # ---- roofline accounting (per decode step = one token per sequence) ---
     def _bytes(t):
@@ -160,6 +216,7 @@ def main():
             "wall_s": round(best, 3),
             "tokens": total_tokens,
             "batch": 1,
+            "decode_path": decode_path,
             "vocab": cfg.vocab_size_audio,
             **extras,
             # >1.0 at B=1 means the constant-folded weights+KV live in VMEM
@@ -178,4 +235,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--megakernel-child" in sys.argv:
+        _mega_child()
+    else:
+        main()

@@ -34,6 +34,11 @@ from mamba_tts_tpu.models.style_text_encoder import StyleTextEncoder
 from mamba_tts_tpu.models.tts import MambaTTS
 from mamba_tts_tpu.text.processor import PhonemeFrontend
 
+# Tokens decoded per megakernel grid step.  Measured on v5e: per-grid-step
+# overhead is negligible (U=8 was 3% SLOWER than U=1 from code bloat), so
+# stay at 1; numerics are unroll-invariant — tests pin U=1 == U>1 exactly.
+_MEGAKERNEL_UNROLL = 1
+
 
 class Synthesizer:
     """End-to-end TTS inference engine."""
@@ -49,10 +54,15 @@ class Synthesizer:
     ):
         """``quant`` selects the decode-scan numerics: "none" (bf16 weights,
         precision-exact with training), "int8" (weight-streaming int8 matvecs
-        via ops/int8_matvec.py), or "int8_kv" (additionally int8 per-layer
-        cross-attention K/V — the dominant traffic term of batched decode)."""
-        if quant not in ("none", "int8", "int8_kv"):
-            raise ValueError(f"quant must be none|int8|int8_kv, got {quant!r}")
+        via ops/int8_matvec.py), "int8_kv" (additionally int8 per-layer
+        cross-attention K/V — the dominant traffic term of batched decode), or
+        "megakernel" (ops/decode_megakernel.py: the whole greedy decode as ONE
+        pallas_call with VMEM-resident int8 weights — the fastest B=1 latency
+        path; sampled (temperature>0) and batched decodes fall back to the
+        int8 step scan)."""
+        if quant not in ("none", "int8", "int8_kv", "megakernel"):
+            raise ValueError(
+                f"quant must be none|int8|int8_kv|megakernel, got {quant!r}")
         self.cfg = cfg
         self.quant = quant
         self.model = MambaTTS(cfg)
@@ -109,7 +119,24 @@ class Synthesizer:
                 text_hidden = model.apply(mvars, phoneme_ids, text_mask, method=MambaTTS.encode_text)
                 z_style = model.apply(mvars, style_bert, rng, method=MambaTTS.sample_style)
                 ref_hidden, ref_mask = model.apply(mvars, voice_codec, method=MambaTTS.embed_voice)
-                if quant != "none":
+                if quant == "megakernel" and temperature == 0.0:
+                    from mamba_tts_tpu.ops.decode_megakernel import (
+                        megakernel_greedy_decode,
+                    )
+
+                    res = megakernel_greedy_decode(
+                        decoder,
+                        {"params": params["decoder"]},
+                        qparams_const,
+                        text_hidden,
+                        z_style,
+                        frames_per_stream,
+                        text_mask=text_mask,
+                        ref_hidden=ref_hidden,
+                        ref_mask=ref_mask,
+                        unroll_steps=_MEGAKERNEL_UNROLL,
+                    )
+                elif quant != "none":
                     from mamba_tts_tpu.infer.quant_decode import greedy_decode_int8
 
                     res = greedy_decode_int8(
@@ -312,9 +339,10 @@ def main(argv=None):
                              "on load; reference: audio_encoder.py:165-173)")
     parser.add_argument("--facodec_decoder_ckpt", type=str, default=None)
     parser.add_argument("--quant", type=str, default="none",
-                        choices=("none", "int8", "int8_kv"),
+                        choices=("none", "int8", "int8_kv", "megakernel"),
                         help="decode-scan numerics (int8 weight streaming; "
-                             "int8_kv also quantizes cross-attn K/V)")
+                             "int8_kv also quantizes cross-attn K/V; "
+                             "megakernel = one-pallas_call B=1 greedy decode)")
     args = parser.parse_args(argv)
 
     from mamba_tts_tpu import config as config_lib

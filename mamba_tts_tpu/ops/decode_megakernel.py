@@ -65,11 +65,12 @@ class _Plan(NamedTuple):
     D: jax.Array           # (L, 1, di) f32
     out_w: jax.Array       # (L, di, d) int8
     out_s: jax.Array       # (L, 1, d) f32
-    q_w: jax.Array         # (L, H, d, hd) int8 (per-head column blocks)
-    q_s: jax.Array         # (L, H, 1, hd) f32
-    q_b: jax.Array         # (L, H, 1, hd) f32
-    K: jax.Array           # (L, H, hd, Tmp) bf16 (transposed: scores = q @ K)
-    V: jax.Array           # (L, H, Tmp, hd) bf16
+    q_w: jax.Array         # (L, d, d) int8
+    q_s: jax.Array         # (L, 1, d) f32
+    q_b: jax.Array         # (L, 1, d) f32
+    headmask: jax.Array    # (H, d) bf16: 1 where channel c belongs to head h
+    K: jax.Array           # (L, d, Tmp) bf16: all heads stacked on channels
+    V: jax.Array           # (L, Tmp, d) bf16: ditto
     mask_row: jax.Array    # (1, Tmp) f32 additive bias (0 valid / -1e9)
     o_w: jax.Array         # (L, d, d) int8
     o_s: jax.Array         # (L, 1, d) f32
@@ -83,7 +84,8 @@ class _Plan(NamedTuple):
     ff2_s: jax.Array       # (L, 1, d) f32
     ff2_b: jax.Array       # (L, 1, d) f32
     norm_out: jax.Array    # (2, d) f32
-    head_w: jax.Array      # (d, Vpad) f32
+    head_w: jax.Array      # (d, Vpad) bf16 (f32 MXU passes cost 4-6x bf16;
+                           #   rounding ~4e-3 rel, far under greedy margins)
     head_b: jax.Array      # (1, Vpad) f32, -1e9 at specials and pad columns
 
 
@@ -125,23 +127,24 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
 
     xp = stack(lambda lp: lp["x_proj_k"].astype(bf))  # (L, di, r+2N)
 
-    # attention q-projection re-packed per head so the kernel never slices
-    # activations at non-128 lane offsets
-    q_w = stack(lambda lp: lp["q_proj"]["w_q"]).reshape(L, d, H, hd)
-    q_w = jnp.transpose(q_w, (0, 2, 1, 3))  # (L, H, d, hd)
-    q_s = stack(lambda lp: lp["q_proj"]["scale"]).reshape(L, H, 1, hd)
-    q_b = stack(lambda lp: lp["q_proj"]["bias"]).reshape(L, H, 1, hd)
-
-    # memories: (K, V) per layer, each (1, H, Tm, hd); K transposed to
-    # (L, H, hd, Tmp) so in-kernel scores are the standard (1,K)@(K,N) form
-    # (Mosaic's (1,),(1,) matvec lowering emits a type-mismatched broadcast)
+    # all-heads attention layout (heads ride SUBLANES in the kernel):
+    #   K (L, d, Tmp): channel h*hd+j, position t  <- KV[l][0][0, h, t, j]
+    #   V (L, Tmp, d)
+    # so scores for every head come from ONE (H, d) @ (d, Tmp) matmul with a
+    # block-diagonal lhs (head h's q in channels [h*hd, (h+1)*hd)), and the
+    # V-contraction is ONE (H, Tmp) @ (Tmp, d) whose diagonal blocks are
+    # selected with `headmask` — 2 MXU ops/layer instead of 2 per head.
     Tm = KV[0][0].shape[2]
     Tmp = _round_up(Tm, 128)
-    Kst = jnp.stack([kv[0][0] for kv in KV])
+    Kst = jnp.stack([kv[0][0] for kv in KV])  # (L, H, Tm, hd)
     Vst = jnp.stack([kv[1][0] for kv in KV])
     pad_t = ((0, 0), (0, 0), (0, Tmp - Tm), (0, 0))
-    Kst = jnp.transpose(jnp.pad(Kst.astype(bf), pad_t), (0, 1, 3, 2))
+    Kst = jnp.pad(Kst.astype(bf), pad_t)  # (L, H, Tmp, hd)
     Vst = jnp.pad(Vst.astype(bf), pad_t)
+    Kst = jnp.transpose(Kst, (0, 1, 3, 2)).reshape(L, d, Tmp)
+    Vst = jnp.transpose(Vst, (0, 2, 1, 3)).reshape(L, Tmp, d)
+    headmask = (jnp.arange(d)[None, :] // hd
+                == jnp.arange(H)[:, None]).astype(bf)
 
     if memory_mask is None:
         valid = jnp.ones((Tm,), bool)
@@ -154,8 +157,8 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
     gamma = jnp.stack([g.astype(jnp.float32) for g, _ in films])[:, :1, :]
     beta = jnp.stack([b.astype(jnp.float32) for _, b in films])[:, :1, :]
 
-    head_w = jnp.zeros((d, Vpad), jnp.float32).at[:, :Vreal].set(
-        qparams["head_k"].astype(jnp.float32)
+    head_w = jnp.zeros((d, Vpad), bf).at[:, :Vreal].set(
+        qparams["head_k"].astype(bf)
     )
     head_b = jnp.full((Vpad,), -1e9, jnp.float32).at[:Vreal].set(
         qparams["head_b"].astype(jnp.float32)
@@ -182,7 +185,10 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
         D=stack(lambda lp: lp["D"].astype(jnp.float32))[:, None, :],
         out_w=stack(lambda lp: lp["out_proj"]["w_q"]),
         out_s=stack(lambda lp: lp["out_proj"]["scale"])[:, None, :],
-        q_w=q_w, q_s=q_s, q_b=q_b,
+        q_w=stack(lambda lp: lp["q_proj"]["w_q"]),
+        q_s=stack(lambda lp: lp["q_proj"]["scale"])[:, None, :],
+        q_b=stack(lambda lp: lp["q_proj"]["bias"])[:, None, :],
+        headmask=headmask,
         K=Kst, V=Vst, mask_row=mask_row,
         o_w=stack(lambda lp: lp["o_proj"]["w_q"]),
         o_s=stack(lambda lp: lp["o_proj"]["scale"])[:, None, :],
@@ -259,7 +265,8 @@ def _outer(a, b):
     )
 
 
-def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool):
+def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
+                 unroll_steps: int):
     c = cfg
     m = c.with_mamba_dims().mamba
     L, d, di, N = c.n_layers, c.d_model, m.d_inner, m.d_state
@@ -274,7 +281,7 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool):
             emb_ref, te_ref, norms_ref, in_w_ref, in_s_ref, conv_w_ref,
             conv_b_ref, xp_dt_ref, xp_B_ref, xp_C_ref, dt_w_ref, dt_b_ref,
             A_ref, D_ref, out_w_ref, out_s_ref, q_w_ref, q_s_ref, q_b_ref,
-            K_ref, V_ref, mask_ref, o_w_ref, o_s_ref, o_b_ref, gamma_ref,
+            hm_ref, K_ref, V_ref, mask_ref, o_w_ref, o_s_ref, o_b_ref, gamma_ref,
             beta_ref, ff1_w_ref, ff1_s_ref, ff1_b_ref, ff2_w_ref, ff2_s_ref,
             ff2_b_ref, no_ref, head_w_ref, head_b_ref,
             logits_ref,
@@ -290,12 +297,28 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool):
             conv_s[:] = jnp.zeros_like(conv_s)
             ssm_s[:] = jnp.zeros_like(ssm_s)
 
+        for u in range(unroll_steps):
+            _decode_one(u, refs=refs,
+                        forced_ref=forced_ref if teacher_force else None)
+
+    def _decode_one(u, refs, forced_ref):
+        (
+            emb_ref, te_ref, norms_ref, in_w_ref, in_s_ref, conv_w_ref,
+            conv_b_ref, xp_dt_ref, xp_B_ref, xp_C_ref, dt_w_ref, dt_b_ref,
+            A_ref, D_ref, out_w_ref, out_s_ref, q_w_ref, q_s_ref, q_b_ref,
+            hm_ref, K_ref, V_ref, mask_ref, o_w_ref, o_s_ref, o_b_ref, gamma_ref,
+            beta_ref, ff1_w_ref, ff1_s_ref, ff1_b_ref, ff2_w_ref, ff2_s_ref,
+            ff2_b_ref, no_ref, head_w_ref, head_b_ref,
+            logits_ref,
+            oh_s, conv_s, ssm_s,
+        ) = refs
+
         # ---- embed: one-hot matmul + per-step pos/quant row -------------
-        oh = forced_ref[0] if teacher_force else oh_s[...]
+        oh = forced_ref[u] if forced_ref is not None else oh_s[...]
         x = jax.lax.dot_general(
             oh, te_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16) + emb_ref[0]  # (1, d)
+        ).astype(jnp.bfloat16) + emb_ref[u]  # (1, d)
 
         for l in range(L):
             nb = norms_ref[l]  # (6, d) f32
@@ -337,23 +360,26 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool):
             y = y * _silu(z)
             x = x + _dq_dot(y, out_w_ref[l], out_s_ref[l])
 
-            # ---- 1-query cross-attention -------------------------------
+            # ---- 1-query cross-attention, all heads on sublanes ---------
+            # Q8 row h carries head h's q channels (zeros elsewhere), so one
+            # (H, d) @ (d, Tmp) matmul yields every head's scores; the
+            # all-heads V contraction computes an (H, d) block matrix whose
+            # diagonal blocks (selected by headmask) are the per-head outputs.
             h = _ln(x, nb[2:3], nb[3:4])
-            outs = []
-            for hh in range(H):
-                q_h = _dq_dot(h, q_w_ref[l, hh], q_s_ref[l, hh], q_b_ref[l, hh])
-                scores = jax.lax.dot_general(
-                    q_h, K_ref[l, hh], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * att_scale + mask_ref[...]  # (1, Tmp)
-                p = jax.nn.softmax(scores, axis=1).astype(jnp.bfloat16)
-                outs.append(
-                    jax.lax.dot_general(
-                        p, V_ref[l, hh], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ).astype(jnp.bfloat16)
-                )  # (1, hd)
-            attn = jnp.concatenate(outs, axis=1)  # (1, d)
+            q_all = _dq_dot(h, q_w_ref[l], q_s_ref[l], q_b_ref[l])  # (1, d)
+            Q8 = hm_ref[...] * q_all  # (H, d), block-diagonal rows
+            S = jax.lax.dot_general(
+                Q8, K_ref[l], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * att_scale + mask_ref[...]  # (H, Tmp)
+            P = jax.nn.softmax(S, axis=1).astype(jnp.bfloat16)
+            O = jax.lax.dot_general(
+                P, V_ref[l], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H, d); [h, c] = head-h weights applied to head(c)'s V
+            attn = (O * hm_ref[...].astype(jnp.float32)).sum(
+                axis=0, keepdims=True
+            ).astype(jnp.bfloat16)  # (1, d) diagonal-block extraction
             x = x + _dq_dot(attn, o_w_ref[l], o_s_ref[l], o_b_ref[l])
 
             # ---- FiLM FFN ----------------------------------------------
@@ -363,13 +389,13 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool):
             x = x + _dq_dot(h1, ff2_w_ref[l], ff2_s_ref[l], ff2_b_ref[l])
 
         # ---- vocab head + greedy token ----------------------------------
-        xf = _ln(x, no_ref[0:1], no_ref[1:2]).astype(jnp.float32)
+        xf = _ln(x, no_ref[0:1], no_ref[1:2]).astype(jnp.bfloat16)
         logits = jax.lax.dot_general(
             xf, head_w_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + head_b_ref[...]  # (1, Vpad), masked at specials/pads
-        logits_ref[0] = logits
-        if not teacher_force:
+        ) + head_b_ref[...]  # (1, Vpad) f32, masked at specials/pads
+        logits_ref[u] = logits
+        if forced_ref is None:
             mx = logits.max(axis=1, keepdims=True)
             iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             idx = jnp.where(logits == mx, iota, jnp.int32(2 ** 30)).min(
@@ -381,16 +407,21 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "frames_per_stream", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "frames_per_stream", "interpret", "unroll_steps"),
 )
 def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
-                     interpret: bool, forced_oh: Optional[jax.Array] = None):
+                     interpret: bool, forced_oh: Optional[jax.Array] = None,
+                     unroll_steps: int = 1):
     c = cfg
     total = c.num_quantizers * frames_per_stream
     Vpad = plan.token_embed.shape[0]
     m = c.with_mamba_dims().mamba
     L, di, N = c.n_layers, m.d_inner, m.d_state
     teacher_force = forced_oh is not None
+    U = unroll_steps
+    if total % U:
+        raise ValueError(f"unroll_steps={U} must divide total={total}")
 
     def const_spec(arr):
         nd = arr.ndim
@@ -402,7 +433,8 @@ def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
         # streamed per-step rows ride a (total, 1, d) layout: the TPU
         # lowering requires the LAST TWO block dims to divide (8, 128) or
         # equal the array dims, so the step axis must be a leading dim.
-        return pl.BlockSpec((1, 1, arr.shape[2]), lambda t: (t, 0, 0),
+        # Each grid step covers U consecutive token rows.
+        return pl.BlockSpec((U, 1, arr.shape[2]), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
 
     operands = []
@@ -419,10 +451,10 @@ def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
             in_specs.append(const_spec(arr))
 
     logits = pl.pallas_call(
-        _make_kernel(c, c.bos_id, teacher_force),
-        grid=(total,),
+        _make_kernel(c, c.bos_id, teacher_force, U),
+        grid=(total // U,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, Vpad), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((U, 1, Vpad), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((total, 1, Vpad), jnp.float32),
         scratch_shapes=[
@@ -452,6 +484,7 @@ def megakernel_greedy_decode(
     collect_logits: bool = False,
     interpret: Optional[bool] = None,
     forced_tokens: Optional[jax.Array] = None,
+    unroll_steps: int = 1,
 ) -> DecodeResult:
     """Greedy decode of the full utterance in one fused Pallas kernel.
 
@@ -468,6 +501,9 @@ def megakernel_greedy_decode(
         raise ValueError("megakernel decode is the B=1 latency path")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    total = c.num_quantizers * frames_per_stream
+    while total % unroll_steps:  # largest feasible unroll <= requested
+        unroll_steps -= 1
 
     KV, memory_mask, films = decoder.apply(
         variables, text_hidden, text_mask, ref_hidden, ref_mask, z_style,
@@ -480,7 +516,8 @@ def megakernel_greedy_decode(
         forced_oh = jax.nn.one_hot(
             forced_tokens.reshape(-1), Vpad, dtype=jnp.bfloat16
         )
-    logits = _megakernel_call(c, plan, frames_per_stream, interpret, forced_oh)
+    logits = _megakernel_call(c, plan, frames_per_stream, interpret, forced_oh,
+                              unroll_steps=unroll_steps)
     logits = logits[:, 0, :]  # (total, Vpad)
     tokens = jnp.argmax(logits, axis=1).astype(jnp.int32)[None]  # (1, total)
     if collect_logits:

@@ -118,6 +118,24 @@ def test_greedy_stream_contract():
     assert int(np.asarray(ref0)[0, cfg.num_special_tokens:].argmax()) + cfg.num_special_tokens == int(toks[0])
 
 
+def test_unrolled_grid_matches_single_step():
+    """U tokens per grid step is a pure re-blocking: logits identical to U=1
+    (same op order per token), including across the auto-reduction when U
+    does not divide the total."""
+    cfg = _tiny()
+    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg, seed=7)
+    F = 4  # total = 8 -> U=3 auto-reduces to 2
+    outs = {}
+    for U in (1, 3):
+        r = megakernel_greedy_decode(
+            dec, variables, qparams, th, z, F, text_mask=tm, ref_hidden=rh,
+            ref_mask=rm, collect_logits=True, unroll_steps=U,
+        )
+        outs[U] = (np.asarray(r.tokens), np.asarray(r.logits, np.float32))
+    assert (outs[1][0] == outs[3][0]).all()
+    assert np.abs(outs[1][1] - outs[3][1]).max() == 0.0
+
+
 def test_batch_gt1_rejected():
     cfg = _tiny()
     dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg)

@@ -90,3 +90,38 @@ def test_synthesize_int8_serving_path(quant):
     assert wav_b.shape == wav_a.shape
     assert np.isfinite(wav_b).all()
     assert info["frames"] == 64  # frame budgets bucket to multiples of 64
+
+
+def test_synthesize_megakernel_serving_path():
+    """quant="megakernel" wiring: the Synthesizer's decode fn routes B=1
+    greedy decodes through ops/decode_megakernel (driven at the _decode_fn
+    level with a tiny frame budget — the public synthesize() buckets to 64
+    frames, which interpret mode cannot afford in a unit test)."""
+    import jax.numpy as jnp
+
+    from mamba_tts_tpu.infer.synthesize import load_synthesizer
+
+    cfg = cl.from_json(open("tests/smoke_config.json").read())
+    synth = load_synthesizer(cfg, quant="megakernel")
+    F = 4
+    run = synth._decode_fn(F, 0.0)
+    phoneme_ids, _, text_mask = synth.frontend.encode_batch(
+        ["hello"], pad_to=cfg.data.max_text_len
+    )
+    style_bert = np.asarray(synth.style_encoder.embed(["fast"]))
+    t = np.arange(3200) / 16000.0
+    voice = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    voice_codec, _, _ = synth.tokenizer.encode_with_lengths([voice])
+    tokens = np.asarray(
+        jax.device_get(
+            run(
+                jnp.asarray(phoneme_ids), jnp.asarray(text_mask),
+                jnp.asarray(style_bert), jnp.asarray(voice_codec),
+                jax.random.PRNGKey(0),
+            )
+        )
+    )
+    Q = cfg.decoder.num_quantizers
+    assert tokens.shape == (1, Q * F)
+    assert (tokens >= cfg.decoder.num_special_tokens).all()
+    assert (tokens < cfg.decoder.vocab_size_audio).all()
