@@ -119,7 +119,10 @@ class Synthesizer:
                 text_hidden = model.apply(mvars, phoneme_ids, text_mask, method=MambaTTS.encode_text)
                 z_style = model.apply(mvars, style_bert, rng, method=MambaTTS.sample_style)
                 ref_hidden, ref_mask = model.apply(mvars, voice_codec, method=MambaTTS.embed_voice)
-                if quant == "megakernel" and temperature == 0.0:
+                if (quant == "megakernel" and temperature == 0.0
+                        and phoneme_ids.shape[0] == 1):
+                    # B=1 latency path; batched serving falls through to the
+                    # step scan (flagship K/V does not fit VMEM beyond B~2)
                     from mamba_tts_tpu.ops.decode_megakernel import (
                         megakernel_greedy_decode,
                     )

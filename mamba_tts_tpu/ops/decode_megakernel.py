@@ -69,14 +69,14 @@ class _Plan(NamedTuple):
     q_s: jax.Array         # (L, 1, d) f32
     q_b: jax.Array         # (L, 1, d) f32
     headmask: jax.Array    # (H, d) bf16: 1 where channel c belongs to head h
-    K: jax.Array           # (L, d, Tmp) bf16: all heads stacked on channels
-    V: jax.Array           # (L, Tmp, d) bf16: ditto
-    mask_row: jax.Array    # (1, Tmp) f32 additive bias (0 valid / -1e9)
+    K: jax.Array           # (L, B, d, Tmp) bf16: heads stacked on channels
+    V: jax.Array           # (L, B, Tmp, d) bf16: ditto
+    mask_row: jax.Array    # (B, Tmp) f32 additive bias (0 valid / -1e9)
     o_w: jax.Array         # (L, d, d) int8
     o_s: jax.Array         # (L, 1, d) f32
     o_b: jax.Array         # (L, 1, d) f32
-    gamma: jax.Array       # (L, 1, d) f32 FiLM scale
-    beta: jax.Array        # (L, 1, d) f32 FiLM shift
+    gamma: jax.Array       # (L, B, d) f32 FiLM scale
+    beta: jax.Array        # (L, B, d) f32 FiLM shift
     ff1_w: jax.Array       # (L, d, dff) int8
     ff1_s: jax.Array       # (L, 1, dff) f32
     ff1_b: jax.Array       # (L, 1, dff) f32
@@ -90,12 +90,20 @@ class _Plan(NamedTuple):
 
 
 def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
-                films, frames_per_stream: int) -> _Plan:
+                films, frames_per_stream: int,
+                weight_dtype: str = "bfloat16") -> _Plan:
     """Stack per-layer decode params + memories into kernel-resident arrays.
 
     ``qparams`` is ``infer.quant_decode.quantize_decoder_params`` output;
     ``KV``/``memory_mask``/``films`` come from
     ``MambaTTSDecoder.project_memories`` (B=1).
+
+    ``weight_dtype``: "bfloat16" pre-folds each int8 weight's per-channel
+    scale into a bf16 weight — the per-use int8->bf16 convert + scale-mul
+    inside the kernel (~4M elements per layer per token) was ~25% of step
+    time, and at B=1 the bf16 weights (67 MB) still fit VMEM comfortably.
+    "int8" keeps int8-resident weights (exact parity with the int8 step
+    scan; half the weight VMEM — needed when batched K/V gets large).
     """
     c = cfg
     m = c.with_mamba_dims().mamba
@@ -128,34 +136,35 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
     xp = stack(lambda lp: lp["x_proj_k"].astype(bf))  # (L, di, r+2N)
 
     # all-heads attention layout (heads ride SUBLANES in the kernel):
-    #   K (L, d, Tmp): channel h*hd+j, position t  <- KV[l][0][0, h, t, j]
-    #   V (L, Tmp, d)
-    # so scores for every head come from ONE (H, d) @ (d, Tmp) matmul with a
-    # block-diagonal lhs (head h's q in channels [h*hd, (h+1)*hd)), and the
-    # V-contraction is ONE (H, Tmp) @ (Tmp, d) whose diagonal blocks are
-    # selected with `headmask` — 2 MXU ops/layer instead of 2 per head.
-    Tm = KV[0][0].shape[2]
+    #   K (L, B, d, Tmp): channel h*hd+j, position t  <- KV[l][0][b, h, t, j]
+    #   V (L, B, Tmp, d)
+    # so scores for every head come from ONE (H, d) @ (d, Tmp) matmul per
+    # sequence with a block-diagonal lhs (head h's q in channels
+    # [h*hd, (h+1)*hd)), and the V-contraction is ONE (H, Tmp) @ (Tmp, d)
+    # whose diagonal blocks are selected with `headmask` — 2 MXU ops per
+    # layer per sequence instead of 2 per head.
+    Bsz, _, Tm, _ = KV[0][0].shape
     Tmp = _round_up(Tm, 128)
-    Kst = jnp.stack([kv[0][0] for kv in KV])  # (L, H, Tm, hd)
-    Vst = jnp.stack([kv[1][0] for kv in KV])
-    pad_t = ((0, 0), (0, 0), (0, Tmp - Tm), (0, 0))
-    Kst = jnp.pad(Kst.astype(bf), pad_t)  # (L, H, Tmp, hd)
+    Kst = jnp.stack([kv[0] for kv in KV])  # (L, B, H, Tm, hd)
+    Vst = jnp.stack([kv[1] for kv in KV])
+    pad_t = ((0, 0), (0, 0), (0, 0), (0, Tmp - Tm), (0, 0))
+    Kst = jnp.pad(Kst.astype(bf), pad_t)  # (L, B, H, Tmp, hd)
     Vst = jnp.pad(Vst.astype(bf), pad_t)
-    Kst = jnp.transpose(Kst, (0, 1, 3, 2)).reshape(L, d, Tmp)
-    Vst = jnp.transpose(Vst, (0, 2, 1, 3)).reshape(L, Tmp, d)
+    Kst = jnp.transpose(Kst, (0, 1, 2, 4, 3)).reshape(L, Bsz, d, Tmp)
+    Vst = jnp.transpose(Vst, (0, 1, 3, 2, 4)).reshape(L, Bsz, Tmp, d)
     headmask = (jnp.arange(d)[None, :] // hd
                 == jnp.arange(H)[:, None]).astype(bf)
 
     if memory_mask is None:
-        valid = jnp.ones((Tm,), bool)
+        valid = jnp.ones((Bsz, Tm), bool)
     else:
-        valid = memory_mask[0]
+        valid = memory_mask
     mask_row = jnp.where(
-        jnp.pad(valid, (0, Tmp - Tm)), 0.0, -1e9
-    ).astype(jnp.float32)[None, :]
+        jnp.pad(valid, ((0, 0), (0, Tmp - Tm))), 0.0, -1e9
+    ).astype(jnp.float32)
 
-    gamma = jnp.stack([g.astype(jnp.float32) for g, _ in films])[:, :1, :]
-    beta = jnp.stack([b.astype(jnp.float32) for _, b in films])[:, :1, :]
+    gamma = jnp.stack([g.astype(jnp.float32) for g, _ in films])  # (L, B, d)
+    beta = jnp.stack([b.astype(jnp.float32) for _, b in films])
 
     head_w = jnp.zeros((d, Vpad), bf).at[:, :Vreal].set(
         qparams["head_k"].astype(bf)
@@ -165,7 +174,7 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
     )
     head_b = head_b.at[: c.num_special_tokens].set(-1e9)[None]
 
-    return _Plan(
+    plan = _Plan(
         emb_pq=emb_pq,
         token_embed=te,
         norms=norms,
@@ -206,6 +215,21 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
         head_w=head_w,
         head_b=head_b,
     )
+    if weight_dtype == "bfloat16":
+        def fold(w, s):  # (L, K, Nc) int8, (L, 1, Nc) f32 -> bf16, pre-scaled
+            return (w.astype(jnp.float32) * s).astype(bf)
+
+        plan = plan._replace(
+            in_w=fold(plan.in_w, plan.in_s),
+            out_w=fold(plan.out_w, plan.out_s),
+            q_w=fold(plan.q_w, plan.q_s),
+            o_w=fold(plan.o_w, plan.o_s),
+            ff1_w=fold(plan.ff1_w, plan.ff1_s),
+            ff2_w=fold(plan.ff2_w, plan.ff2_s),
+        )
+    elif weight_dtype != "int8":
+        raise ValueError(f"weight_dtype must be bfloat16|int8: {weight_dtype}")
+    return plan
 
 
 def _ln(x, scale, bias, eps=1e-6):
@@ -218,14 +242,23 @@ def _ln(x, scale, bias, eps=1e-6):
 
 
 def _dq_dot(x, w_q, scale, bias=None):
-    """x (1, K) bf16 @ int8 (K, N): f32 accumulate, per-channel dequant —
-    same op order as ops/int8_matvec's kernel."""
-    acc = jax.lax.dot_general(
-        x, w_q.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    y = (acc * scale).astype(jnp.bfloat16)
+    """x (1, K) bf16 @ weight (K, N): f32 accumulate.
+
+    int8 weights: per-use convert + per-channel dequant, the same op order
+    as ops/int8_matvec's kernel.  bf16 weights (scale pre-folded by
+    ``_build_plan``): a plain matmul — no per-use conversion traffic."""
+    if w_q.dtype == jnp.int8:
+        acc = jax.lax.dot_general(
+            x, w_q.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = (acc * scale).astype(jnp.bfloat16)
+    else:
+        y = jax.lax.dot_general(
+            x, w_q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
@@ -266,12 +299,14 @@ def _outer(a, b):
 
 
 def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
-                 unroll_steps: int):
+                 unroll_steps: int, batch: int):
     c = cfg
     m = c.with_mamba_dims().mamba
     L, d, di, N = c.n_layers, c.d_model, m.d_inner, m.d_state
     H = c.n_heads
     hd = d // H
+    dc = m.d_conv
+    B = batch
     att_scale = hd ** -0.5
 
     def kernel(*refs):
@@ -292,7 +327,7 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
 
         @pl.when(t == 0)
         def _():
-            iota = jax.lax.broadcasted_iota(jnp.int32, (1, Vpad), 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (B, Vpad), 1)
             oh_s[:] = (iota == bos_id).astype(jnp.bfloat16)
             conv_s[:] = jnp.zeros_like(conv_s)
             ssm_s[:] = jnp.zeros_like(ssm_s)
@@ -318,20 +353,26 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
         x = jax.lax.dot_general(
             oh, te_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16) + emb_ref[u]  # (1, d)
+        ).astype(jnp.bfloat16) + emb_ref[u]  # (B, d); emb row is shared
 
         for l in range(L):
             nb = norms_ref[l]  # (6, d) f32
             # ---- Mamba step --------------------------------------------
             h = _ln(x, nb[0:1], nb[1:2])
-            xz = _dq_dot(h, in_w_ref[l], in_s_ref[l])  # (1, 2*di)
+            xz = _dq_dot(h, in_w_ref[l], in_s_ref[l])  # (B, 2*di)
             xin, z = xz[:, :di], xz[:, di:]
-            window = jnp.concatenate([conv_s[l].astype(xin.dtype), xin], axis=0)
-            conv_s[l] = window[1:]
-            conv_out = (window * conv_w_ref[l].astype(xin.dtype)).sum(
-                axis=0, keepdims=True
-            ) + conv_b_ref[l].astype(xin.dtype)
-            xc = _silu(conv_out)  # (1, di)
+            # depthwise causal conv as per-tap MACs; taps k<dc-1 read the
+            # ring state (L, dc-1, B, di), the last tap is this step's input
+            conv_out = xin * conv_w_ref[l, dc - 1:dc]
+            for k in range(dc - 1):
+                conv_out = conv_out + (
+                    conv_s[l, k].astype(xin.dtype) * conv_w_ref[l, k:k + 1]
+                )
+            conv_out = conv_out + conv_b_ref[l].astype(xin.dtype)
+            for k in range(dc - 2):
+                conv_s[l, k] = conv_s[l, k + 1]
+            conv_s[l, dc - 2] = xin
+            xc = _silu(conv_out)  # (B, di)
             # bf16-rounded projections, exactly as the step-scan path
             # (Mosaic requires a 32-bit matmul accumulator, so accumulate f32
             # and round to bf16 — same result as XLA's bf16-out dot)
@@ -341,22 +382,26 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
                     preferred_element_type=jnp.float32,
                 ).astype(jnp.bfloat16)
 
-            dt_raw = _dot_bf16(xc, xp_dt_ref[l])  # (1, r) bf16
-            Bm = _dot_bf16(xc, xp_B_ref[l]).astype(jnp.float32)  # (1, N)
+            dt_raw = _dot_bf16(xc, xp_dt_ref[l])  # (B, r) bf16
+            Bm = _dot_bf16(xc, xp_B_ref[l]).astype(jnp.float32)  # (B, N)
             Cm = _dot_bf16(xc, xp_C_ref[l]).astype(jnp.float32)
             dt = jax.nn.softplus(
                 _dot_bf16(dt_raw, dt_w_ref[l]).astype(jnp.float32)
                 + dt_b_ref[l]
-            )  # (1, di) f32
-            a = jnp.exp(dt * A_ref[l])  # (N, di), decay in (0, 1]
-            b_in = _outer(Bm, dt * xc.astype(jnp.float32))  # (N, di)
-            h_new = a * ssm_s[l] + b_in
-            ssm_s[l] = h_new
-            y = jax.lax.dot_general(
-                Cm, h_new, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + xc.astype(jnp.float32) * D_ref[l]  # (1, di)
-            y = y.astype(jnp.bfloat16)
+            )  # (B, di) f32
+            dtx = dt * xc.astype(jnp.float32)
+            ys = []
+            for b in range(B):  # rank-1 state update per sequence
+                a = jnp.exp(dt[b:b + 1] * A_ref[l])  # (N, di) decay
+                b_in = _outer(Bm[b:b + 1], dtx[b:b + 1])  # (N, di)
+                h_new = a * ssm_s[l, b] + b_in
+                ssm_s[l, b] = h_new
+                ys.append(jax.lax.dot_general(
+                    Cm[b:b + 1], h_new, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))  # (1, di)
+            y = ys[0] if B == 1 else jnp.concatenate(ys, axis=0)
+            y = (y + xc.astype(jnp.float32) * D_ref[l]).astype(jnp.bfloat16)
             y = y * _silu(z)
             x = x + _dq_dot(y, out_w_ref[l], out_s_ref[l])
 
@@ -365,21 +410,29 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
             # (H, d) @ (d, Tmp) matmul yields every head's scores; the
             # all-heads V contraction computes an (H, d) block matrix whose
             # diagonal blocks (selected by headmask) are the per-head outputs.
+            # Sequences have distinct memories, so scores/outputs loop over
+            # B — but all B*H softmax rows run as ONE vectorized op.
             h = _ln(x, nb[2:3], nb[3:4])
-            q_all = _dq_dot(h, q_w_ref[l], q_s_ref[l], q_b_ref[l])  # (1, d)
-            Q8 = hm_ref[...] * q_all  # (H, d), block-diagonal rows
-            S = jax.lax.dot_general(
-                Q8, K_ref[l], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * att_scale + mask_ref[...]  # (H, Tmp)
-            P = jax.nn.softmax(S, axis=1).astype(jnp.bfloat16)
-            O = jax.lax.dot_general(
-                P, V_ref[l], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (H, d); [h, c] = head-h weights applied to head(c)'s V
-            attn = (O * hm_ref[...].astype(jnp.float32)).sum(
-                axis=0, keepdims=True
-            ).astype(jnp.bfloat16)  # (1, d) diagonal-block extraction
+            q_all = _dq_dot(h, q_w_ref[l], q_s_ref[l], q_b_ref[l])  # (B, d)
+            Ss = []
+            for b in range(B):
+                Q8 = hm_ref[...] * q_all[b:b + 1]  # (H, d) block-diag rows
+                Ss.append(jax.lax.dot_general(
+                    Q8, K_ref[l, b], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * att_scale + mask_ref[b:b + 1])  # (H, Tmp)
+            S = Ss[0] if B == 1 else jnp.concatenate(Ss, axis=0)
+            P = jax.nn.softmax(S, axis=1).astype(jnp.bfloat16)  # (B*H, Tmp)
+            outs = []
+            hm_f = hm_ref[...].astype(jnp.float32)
+            for b in range(B):
+                O = jax.lax.dot_general(
+                    P[b * H:(b + 1) * H], V_ref[l, b], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (H, d); [h, c] = head-h weights applied to head(c)'s V
+                outs.append((O * hm_f).sum(axis=0, keepdims=True))
+            attn = (outs[0] if B == 1
+                    else jnp.concatenate(outs, axis=0)).astype(jnp.bfloat16)
             x = x + _dq_dot(attn, o_w_ref[l], o_s_ref[l], o_b_ref[l])
 
             # ---- FiLM FFN ----------------------------------------------
@@ -393,14 +446,14 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
         logits = jax.lax.dot_general(
             xf, head_w_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + head_b_ref[...]  # (1, Vpad) f32, masked at specials/pads
+        ) + head_b_ref[...]  # (B, Vpad) f32, masked at specials/pads
         logits_ref[u] = logits
         if forced_ref is None:
             mx = logits.max(axis=1, keepdims=True)
             iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             idx = jnp.where(logits == mx, iota, jnp.int32(2 ** 30)).min(
                 axis=1, keepdims=True
-            )  # first argmax, (1, 1)
+            )  # first argmax per row, (B, 1)
             oh_s[:] = (iota == idx).astype(jnp.bfloat16)
 
     return kernel
@@ -418,6 +471,7 @@ def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
     Vpad = plan.token_embed.shape[0]
     m = c.with_mamba_dims().mamba
     L, di, N = c.n_layers, m.d_inner, m.d_state
+    B = plan.K.shape[1]
     teacher_force = forced_oh is not None
     U = unroll_steps
     if total % U:
@@ -430,17 +484,17 @@ def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
         )
 
     def step_spec(arr):
-        # streamed per-step rows ride a (total, 1, d) layout: the TPU
+        # streamed per-step rows ride a (total, B, d) layout: the TPU
         # lowering requires the LAST TWO block dims to divide (8, 128) or
         # equal the array dims, so the step axis must be a leading dim.
         # Each grid step covers U consecutive token rows.
-        return pl.BlockSpec((U, 1, arr.shape[2]), lambda t: (t, 0, 0),
+        return pl.BlockSpec((U,) + arr.shape[1:], lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
 
     operands = []
     in_specs = []
     if teacher_force:
-        operands.append(forced_oh[:, None, :])
+        operands.append(forced_oh)  # (total, B, Vpad)
         in_specs.append(step_spec(operands[-1]))
     for name, arr in plan._asdict().items():
         if name == "emb_pq":
@@ -451,16 +505,16 @@ def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
             in_specs.append(const_spec(arr))
 
     logits = pl.pallas_call(
-        _make_kernel(c, c.bos_id, teacher_force, U),
+        _make_kernel(c, c.bos_id, teacher_force, U, B),
         grid=(total // U,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((U, 1, Vpad), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((U, B, Vpad), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((total, 1, Vpad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((total, B, Vpad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, Vpad), jnp.bfloat16),        # one-hot last token
-            pltpu.VMEM((L, m.d_conv - 1, di), jnp.bfloat16),  # conv state
-            pltpu.VMEM((L, N, di), jnp.float32),        # SSM state
+            pltpu.VMEM((B, Vpad), jnp.bfloat16),        # one-hot last tokens
+            pltpu.VMEM((L, m.d_conv - 1, B, di), jnp.bfloat16),  # conv state
+            pltpu.VMEM((L, B, N, di), jnp.float32),     # SSM state
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -485,20 +539,26 @@ def megakernel_greedy_decode(
     interpret: Optional[bool] = None,
     forced_tokens: Optional[jax.Array] = None,
     unroll_steps: int = 1,
+    weight_dtype: str = "bfloat16",
 ) -> DecodeResult:
     """Greedy decode of the full utterance in one fused Pallas kernel.
 
     Same contract as ``infer.quant_decode.greedy_decode_int8`` restricted to
-    B=1 / temperature=0 (the latency serving shape).  ``interpret=None``
-    auto-selects interpret mode off-TPU so CPU tests run the identical code.
+    temperature=0.  B=1 is the latency serving shape; small batches ride the
+    same kernel (activation rows batch on sublanes, attention/SSM state
+    updates loop per sequence) — but per-sequence K/V must stay VMEM-resident
+    (~5.3 MB per sequence per layer at the flagship memory length), so use
+    ``weight_dtype="int8"`` beyond B=1 and expect B<=2 at flagship scale.
+    ``interpret=None`` auto-selects interpret mode off-TPU so CPU tests run
+    the identical kernel code.
 
-    ``forced_tokens`` (total,) switches to teacher forcing: step t embeds
-    ``forced_tokens[t]`` instead of the previous argmax (tests pin per-step
-    logits against the step-scan path without feedback divergence).
+    ``forced_tokens`` (total,) or (B, total) switches to teacher forcing:
+    step t embeds ``forced_tokens[..., t]`` instead of the previous argmax
+    (tests pin per-step logits against the step-scan path without feedback
+    divergence).
     """
     c = decoder.cfg
-    if text_hidden.shape[0] != 1:
-        raise ValueError("megakernel decode is the B=1 latency path")
+    B = text_hidden.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     total = c.num_quantizers * frames_per_stream
@@ -509,18 +569,19 @@ def megakernel_greedy_decode(
         variables, text_hidden, text_mask, ref_hidden, ref_mask, z_style,
         method=MambaTTSDecoder.project_memories,
     )
-    plan = _build_plan(c, qparams, KV, memory_mask, films, frames_per_stream)
+    plan = _build_plan(c, qparams, KV, memory_mask, films, frames_per_stream,
+                       weight_dtype=weight_dtype)
     forced_oh = None
     if forced_tokens is not None:
         Vpad = plan.token_embed.shape[0]
-        forced_oh = jax.nn.one_hot(
-            forced_tokens.reshape(-1), Vpad, dtype=jnp.bfloat16
-        )
+        ft = jnp.atleast_2d(forced_tokens)  # (B, total)
+        forced_oh = jax.nn.one_hot(ft.T, Vpad, dtype=jnp.bfloat16)
     logits = _megakernel_call(c, plan, frames_per_stream, interpret, forced_oh,
-                              unroll_steps=unroll_steps)
-    logits = logits[:, 0, :]  # (total, Vpad)
-    tokens = jnp.argmax(logits, axis=1).astype(jnp.int32)[None]  # (1, total)
+                              unroll_steps=unroll_steps)  # (total, B, Vpad)
+    tokens = jnp.argmax(logits, axis=2).astype(jnp.int32).T  # (B, total)
     if collect_logits:
-        return DecodeResult(tokens=tokens,
-                            logits=logits[None, :, : c.vocab_size_audio])
-    return DecodeResult(tokens=tokens, logits=jnp.zeros((1, 0)))
+        return DecodeResult(
+            tokens=tokens,
+            logits=jnp.transpose(logits, (1, 0, 2))[:, :, : c.vocab_size_audio],
+        )
+    return DecodeResult(tokens=tokens, logits=jnp.zeros((B, 0)))

@@ -80,6 +80,7 @@ def test_teacher_forced_logits_match_step_scan():
     res = megakernel_greedy_decode(
         dec, variables, qparams, th, z, F, text_mask=tm, ref_hidden=rh,
         ref_mask=rm, collect_logits=True, forced_tokens=forced,
+        weight_dtype="int8",
     )
     got = np.asarray(res.logits[0], np.float32)  # (total, V)
 
@@ -96,6 +97,16 @@ def test_teacher_forced_logits_match_step_scan():
     # argmax agreement under teacher forcing (no divergence cascade)
     agree = (g.argmax(1) == r.argmax(1)).mean()
     assert agree >= 0.9, agree
+
+    # bf16 weight mode (scales pre-folded): adds only per-weight bf16
+    # rounding on top of the int8 path — stays inside a slightly wider band
+    res_bf = megakernel_greedy_decode(
+        dec, variables, qparams, th, z, F, text_mask=tm, ref_hidden=rh,
+        ref_mask=rm, collect_logits=True, forced_tokens=forced,
+        weight_dtype="bfloat16",
+    )
+    g_bf = np.asarray(res_bf.logits[0], np.float32)[:, sp:]
+    assert np.abs(g_bf - r).max() / denom < 5e-2
 
 
 def test_greedy_stream_contract():
@@ -136,9 +147,38 @@ def test_unrolled_grid_matches_single_step():
     assert np.abs(outs[1][1] - outs[3][1]).max() == 0.0
 
 
-def test_batch_gt1_rejected():
+def test_batched_matches_per_sequence_runs():
+    """B=2 decode == two independent B=1 decodes of the same inputs (batch
+    rows only share weights; attention/SSM state updates are per-sequence)."""
     cfg = _tiny()
-    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg)
-    th2 = jnp.concatenate([th, th], axis=0)
-    with pytest.raises(ValueError):
-        megakernel_greedy_decode(dec, variables, qparams, th2, z, 4)
+    F = 4
+    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg, seed=0)
+    outs = []
+    for shift in (0.0, 0.3):  # vary the conditioning per row, same weights
+        res = megakernel_greedy_decode(
+            dec, variables, qparams, th + shift, z, F, text_mask=tm,
+            ref_hidden=rh, ref_mask=rm, collect_logits=True,
+        )
+        outs.append(res)
+
+    th2 = jnp.concatenate([th, th + 0.3], axis=0)
+    z2 = jnp.concatenate([z, z], axis=0)
+    tm2 = jnp.concatenate([tm, tm], axis=0)
+    rh2 = jnp.concatenate([rh, rh], axis=0)
+    rm2 = jnp.concatenate([rm, rm], axis=0)
+    res2 = megakernel_greedy_decode(
+        dec, variables, qparams, th2, z2, F, text_mask=tm2, ref_hidden=rh2,
+        ref_mask=rm2, collect_logits=True,
+    )
+    assert res2.tokens.shape == (2, cfg.num_quantizers * F)
+    sp = cfg.num_special_tokens
+    for row in (0, 1):
+        assert (np.asarray(res2.tokens[row])
+                == np.asarray(outs[row].tokens[0])).all()
+        # logits agree to shape-dependent-dispatch noise: the kernel itself
+        # is row-independent (verified bit-exact under row perturbation);
+        # the residual comes from XLA computing the B=2 memory projections
+        # with different blocking than B=1.  Compare real token columns.
+        got = np.asarray(res2.logits[row], np.float32)[:, sp:]
+        want = np.asarray(outs[row].logits[0], np.float32)[:, sp:]
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-2
