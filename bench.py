@@ -101,7 +101,7 @@ def _mega_child():
 
     cfg, dec, variables, qparams, th1, z1, rh1 = _flagship_setup()
 
-    def make(B):
+    def make(B, wd="bfloat16", kvd="bfloat16"):
         th = jnp.broadcast_to(th1, (B, T_text, cfg.d_model))
         z = jnp.broadcast_to(z1, (B, cfg.d_style))
         rh = jnp.broadcast_to(rh1, (B, T_ref, cfg.d_model))
@@ -111,6 +111,7 @@ def _mega_child():
             lambda: megakernel_greedy_decode(
                 dec, variables, qparams, th, z, F, text_mask=tm,
                 ref_hidden=rh, ref_mask=rm, interpret=False,
+                weight_dtype=wd, kv_dtype=kvd,
             ).tokens
         )
 
@@ -119,11 +120,15 @@ def _mega_child():
         "tokens_per_sec": round(cfg.num_quantizers * F / wall, 1),
         "wall_s": round(wall, 4),
     }
-    try:  # batched variant: B=2 is the largest the bf16 plan fits in VMEM
-        wall2 = _timeit(make(2), reps=2)
-        out["b2_tokens_per_sec"] = round(2 * cfg.num_quantizers * F / wall2, 1)
-    except Exception as e:
-        out["b2_tokens_per_sec"] = f"error: {type(e).__name__}"
+    # batched residency variants (per-B dtype choices that fit VMEM; see
+    # infer.synthesize._megakernel_dtypes)
+    for key, B, wd, kvd in (("b2_tokens_per_sec", 2, "bfloat16", "bfloat16"),
+                            ("b8_tokens_per_sec", 8, "int8", "int8")):
+        try:
+            wallb = _timeit(make(B, wd, kvd), reps=2)
+            out[key] = round(B * cfg.num_quantizers * F / wallb, 1)
+        except Exception as e:
+            out[key] = f"error: {type(e).__name__}"
     print(json.dumps(out))
 
 
@@ -189,6 +194,7 @@ def main():
         mega = json.loads(child.stdout.strip().splitlines()[-1])
         extras["megakernel_tokens_per_sec_b1"] = mega["tokens_per_sec"]
         extras["megakernel_tokens_per_sec_b2"] = mega.get("b2_tokens_per_sec")
+        extras["megakernel_tokens_per_sec_b8"] = mega.get("b8_tokens_per_sec")
         if mega["wall_s"] < best:
             best = mega["wall_s"]
             decode_path = "megakernel"

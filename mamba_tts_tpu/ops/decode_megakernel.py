@@ -69,8 +69,10 @@ class _Plan(NamedTuple):
     q_s: jax.Array         # (L, 1, d) f32
     q_b: jax.Array         # (L, 1, d) f32
     headmask: jax.Array    # (H, d) bf16: 1 where channel c belongs to head h
-    K: jax.Array           # (L, B, d, Tmp) bf16: heads stacked on channels
-    V: jax.Array           # (L, B, Tmp, d) bf16: ditto
+    K: jax.Array           # (L, B, d, Tmp) bf16 or int8: heads on channels
+    V: jax.Array           # (L, B, Tmp, d) bf16 or int8
+    k_scale: jax.Array     # (L, B, 1, d) f32 per-channel K scale (1s if bf16)
+    v_scale: jax.Array     # (L, B, 1, d) f32 per-channel V scale (1s if bf16)
     mask_row: jax.Array    # (B, Tmp) f32 additive bias (0 valid / -1e9)
     o_w: jax.Array         # (L, d, d) int8
     o_s: jax.Array         # (L, 1, d) f32
@@ -91,7 +93,8 @@ class _Plan(NamedTuple):
 
 def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
                 films, frames_per_stream: int,
-                weight_dtype: str = "bfloat16") -> _Plan:
+                weight_dtype: str = "bfloat16",
+                kv_dtype: str = "bfloat16") -> _Plan:
     """Stack per-layer decode params + memories into kernel-resident arrays.
 
     ``qparams`` is ``infer.quant_decode.quantize_decoder_params`` output;
@@ -152,6 +155,25 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
     Vst = jnp.pad(Vst.astype(bf), pad_t)
     Kst = jnp.transpose(Kst, (0, 1, 2, 4, 3)).reshape(L, Bsz, d, Tmp)
     Vst = jnp.transpose(Vst, (0, 1, 3, 2, 4)).reshape(L, Bsz, Tmp, d)
+    if kv_dtype == "int8":
+        # per-channel symmetric int8.  The kernel never dequantizes the big
+        # tensors: K's scale folds into q BEFORE the score matmul (scores
+        # contract over channels), V's folds into the attention output row
+        # AFTER the diagonal-block extraction — Mosaic takes the mixed
+        # bf16 x int8 dots natively.
+        k_amax = jnp.abs(Kst.astype(jnp.float32)).max(axis=3) + 1e-8  # (L,B,d)
+        v_amax = jnp.abs(Vst.astype(jnp.float32)).max(axis=2) + 1e-8
+        k_scale = (k_amax / 127.0)[:, :, None, :]
+        v_scale = (v_amax / 127.0)[:, :, None, :]
+        Kst = jnp.round(
+            Kst.astype(jnp.float32) / jnp.transpose(k_scale, (0, 1, 3, 2))
+        ).astype(jnp.int8)
+        Vst = jnp.round(Vst.astype(jnp.float32) / v_scale).astype(jnp.int8)
+    elif kv_dtype == "bfloat16":
+        k_scale = jnp.ones((L, Bsz, 1, d), jnp.float32)
+        v_scale = jnp.ones((L, Bsz, 1, d), jnp.float32)
+    else:
+        raise ValueError(f"kv_dtype must be bfloat16|int8: {kv_dtype}")
     headmask = (jnp.arange(d)[None, :] // hd
                 == jnp.arange(H)[:, None]).astype(bf)
 
@@ -198,7 +220,7 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
         q_s=stack(lambda lp: lp["q_proj"]["scale"])[:, None, :],
         q_b=stack(lambda lp: lp["q_proj"]["bias"])[:, None, :],
         headmask=headmask,
-        K=Kst, V=Vst, mask_row=mask_row,
+        K=Kst, V=Vst, k_scale=k_scale, v_scale=v_scale, mask_row=mask_row,
         o_w=stack(lambda lp: lp["o_proj"]["w_q"]),
         o_s=stack(lambda lp: lp["o_proj"]["scale"])[:, None, :],
         o_b=stack(lambda lp: lp["o_proj"]["bias"])[:, None, :],
@@ -316,7 +338,8 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
             emb_ref, te_ref, norms_ref, in_w_ref, in_s_ref, conv_w_ref,
             conv_b_ref, xp_dt_ref, xp_B_ref, xp_C_ref, dt_w_ref, dt_b_ref,
             A_ref, D_ref, out_w_ref, out_s_ref, q_w_ref, q_s_ref, q_b_ref,
-            hm_ref, K_ref, V_ref, mask_ref, o_w_ref, o_s_ref, o_b_ref, gamma_ref,
+            hm_ref, K_ref, V_ref, ks_ref, vs_ref, mask_ref, o_w_ref,
+            o_s_ref, o_b_ref, gamma_ref,
             beta_ref, ff1_w_ref, ff1_s_ref, ff1_b_ref, ff2_w_ref, ff2_s_ref,
             ff2_b_ref, no_ref, head_w_ref, head_b_ref,
             logits_ref,
@@ -341,7 +364,8 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
             emb_ref, te_ref, norms_ref, in_w_ref, in_s_ref, conv_w_ref,
             conv_b_ref, xp_dt_ref, xp_B_ref, xp_C_ref, dt_w_ref, dt_b_ref,
             A_ref, D_ref, out_w_ref, out_s_ref, q_w_ref, q_s_ref, q_b_ref,
-            hm_ref, K_ref, V_ref, mask_ref, o_w_ref, o_s_ref, o_b_ref, gamma_ref,
+            hm_ref, K_ref, V_ref, ks_ref, vs_ref, mask_ref, o_w_ref,
+            o_s_ref, o_b_ref, gamma_ref,
             beta_ref, ff1_w_ref, ff1_s_ref, ff1_b_ref, ff2_w_ref, ff2_s_ref,
             ff2_b_ref, no_ref, head_w_ref, head_b_ref,
             logits_ref,
@@ -414,9 +438,15 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
             # B — but all B*H softmax rows run as ONE vectorized op.
             h = _ln(x, nb[2:3], nb[3:4])
             q_all = _dq_dot(h, q_w_ref[l], q_s_ref[l], q_b_ref[l])  # (B, d)
+            kv_int8 = K_ref.dtype == jnp.int8
             Ss = []
             for b in range(B):
-                Q8 = hm_ref[...] * q_all[b:b + 1]  # (H, d) block-diag rows
+                q_b = q_all[b:b + 1]
+                if kv_int8:  # fold K's per-channel scale into q (contraction
+                    # runs over channels, so scaling q is exact)
+                    q_b = (q_b.astype(jnp.float32)
+                           * ks_ref[l, b]).astype(jnp.bfloat16)
+                Q8 = hm_ref[...] * q_b  # (H, d) block-diag rows
                 Ss.append(jax.lax.dot_general(
                     Q8, K_ref[l, b], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -430,7 +460,10 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
                     P[b * H:(b + 1) * H], V_ref[l, b], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (H, d); [h, c] = head-h weights applied to head(c)'s V
-                outs.append((O * hm_f).sum(axis=0, keepdims=True))
+                o_row = (O * hm_f).sum(axis=0, keepdims=True)
+                if kv_int8:  # V's per-channel scale applies to the output row
+                    o_row = o_row * vs_ref[l, b]
+                outs.append(o_row)
             attn = (outs[0] if B == 1
                     else jnp.concatenate(outs, axis=0)).astype(jnp.bfloat16)
             x = x + _dq_dot(attn, o_w_ref[l], o_s_ref[l], o_b_ref[l])
@@ -540,6 +573,7 @@ def megakernel_greedy_decode(
     forced_tokens: Optional[jax.Array] = None,
     unroll_steps: int = 1,
     weight_dtype: str = "bfloat16",
+    kv_dtype: str = "bfloat16",
 ) -> DecodeResult:
     """Greedy decode of the full utterance in one fused Pallas kernel.
 
@@ -547,8 +581,9 @@ def megakernel_greedy_decode(
     temperature=0.  B=1 is the latency serving shape; small batches ride the
     same kernel (activation rows batch on sublanes, attention/SSM state
     updates loop per sequence) — but per-sequence K/V must stay VMEM-resident
-    (~5.3 MB per sequence per layer at the flagship memory length), so use
-    ``weight_dtype="int8"`` beyond B=1 and expect B<=2 at flagship scale.
+    (~5.3 MB per sequence per layer at the flagship memory length in bf16),
+    so shrink residency as B grows: ``weight_dtype="int8"`` (B<=4 flagship)
+    and/or ``kv_dtype="int8"`` (halves K/V; B=8 fits with bf16 weights).
     ``interpret=None`` auto-selects interpret mode off-TPU so CPU tests run
     the identical kernel code.
 
@@ -570,7 +605,7 @@ def megakernel_greedy_decode(
         method=MambaTTSDecoder.project_memories,
     )
     plan = _build_plan(c, qparams, KV, memory_mask, films, frames_per_stream,
-                       weight_dtype=weight_dtype)
+                       weight_dtype=weight_dtype, kv_dtype=kv_dtype)
     forced_oh = None
     if forced_tokens is not None:
         Vpad = plan.token_embed.shape[0]

@@ -147,6 +147,34 @@ def test_unrolled_grid_matches_single_step():
     assert np.abs(outs[1][1] - outs[3][1]).max() == 0.0
 
 
+def test_int8_kv_mode_close_to_bf16():
+    """kv_dtype="int8" (per-channel K/V with scales folded into q / the
+    output row) stays within per-channel-quantization error of the bf16-KV
+    kernel."""
+    cfg = _tiny()
+    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg, seed=5)
+    F = 4
+    total = cfg.num_quantizers * F
+    forced = jnp.concatenate([
+        jnp.array([cfg.bos_id], jnp.int32),
+        jax.random.randint(jax.random.PRNGKey(9), (total - 1,), 2,
+                           cfg.vocab_size_audio),
+    ])
+    outs = {}
+    for kvd in ("bfloat16", "int8"):
+        r = megakernel_greedy_decode(
+            dec, variables, qparams, th, z, F, text_mask=tm, ref_hidden=rh,
+            ref_mask=rm, collect_logits=True, forced_tokens=forced,
+            kv_dtype=kvd,
+        )
+        outs[kvd] = np.asarray(r.logits[0], np.float32)
+    sp = cfg.num_special_tokens
+    a, b = outs["bfloat16"][:, sp:], outs["int8"][:, sp:]
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 5e-2, rel
+    assert (a.argmax(1) == b.argmax(1)).mean() >= 0.9
+
+
 def test_batched_matches_per_sequence_runs():
     """B=2 decode == two independent B=1 decodes of the same inputs (batch
     rows only share weights; attention/SSM state updates are per-sequence)."""
