@@ -133,10 +133,10 @@ class Synthesizer:
                 z_style = model.apply(mvars, style_bert, rng, method=MambaTTS.sample_style)
                 ref_hidden, ref_mask = model.apply(mvars, voice_codec, method=MambaTTS.embed_voice)
                 mega_dtypes = _megakernel_dtypes(phoneme_ids.shape[0])
-                if (quant == "megakernel" and temperature == 0.0
-                        and mega_dtypes is not None):
+                if quant == "megakernel" and mega_dtypes is not None:
                     # whole-decode Pallas kernel; weight/KV residency dtypes
-                    # picked per batch so the plan fits VMEM.  Larger batches
+                    # picked per batch so the plan fits VMEM.  Greedy and
+                    # Gumbel-max sampled decodes both ride it; larger batches
                     # fall through to the step scan.
                     from mamba_tts_tpu.ops.decode_megakernel import (
                         megakernel_greedy_decode,
@@ -155,6 +155,8 @@ class Synthesizer:
                         unroll_steps=_MEGAKERNEL_UNROLL,
                         weight_dtype=mega_dtypes[0],
                         kv_dtype=mega_dtypes[1],
+                        temperature=temperature,
+                        rng=rng,
                     )
                 elif quant != "none":
                     from mamba_tts_tpu.infer.quant_decode import greedy_decode_int8

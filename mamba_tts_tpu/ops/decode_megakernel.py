@@ -1,4 +1,4 @@
-"""Single-Pallas-call autoregressive decode ("megakernel", B=1 latency path).
+"""Single-Pallas-call autoregressive decode ("megakernel").
 
 The step-scan decodes (models/decoder.py greedy_decode, infer/quant_decode)
 dispatch ~64 XLA/Pallas ops per token; measured per-step cost at B=1 is
@@ -6,24 +6,36 @@ dispatch ~64 XLA/Pallas ops per token; measured per-step cost at B=1 is
 flushes between kernels, not bytes.  This kernel runs the ENTIRE greedy
 decode as ONE ``pallas_call`` with ``grid=(Q*F,)``:
 
-- every weight tensor is an input whose ``index_map`` is constant, so Pallas
-  DMAs it into VMEM once and keeps it resident for all 5120 grid steps
-  (int8 weights ~34 MB + bf16 K/V ~26 MB + tables fit the 128 MB VMEM);
-- the SSM / conv states, and the previous token (as a one-hot row), live in
+- every weight and K/V tensor is an input whose ``index_map`` is constant,
+  so Pallas DMAs it into VMEM once and keeps it resident for all grid
+  steps; residency dtypes shrink as batch grows (bf16 weights at B<=2,
+  int8 weights, then int8 K/V whose per-channel scales fold into the query
+  row / the attention output row — no in-kernel dequant of the big
+  tensors);
+- the SSM / conv states, and the previous tokens (one-hot rows), live in
   persistent VMEM scratch across grid steps;
-- per step the kernel embeds the token (one-hot matmul — no dynamic
+- per step the kernel embeds the tokens (one-hot matmul — no dynamic
   gather), runs all ``n_layers`` (Mamba step -> 1-query cross-attention
   -> FiLM FFN) inline, projects the vocab head, and emits the masked
-  logits row; the argmax feeds the next step's one-hot.
+  logits rows; the greedy argmax (or Gumbel-max sample, via a streamed
+  pre-scaled noise row) feeds the next step's one-hots.
 
-Per-token HBM traffic drops to one (1, d) positional-embedding read and one
-(1, Vpad) logits write — decode becomes compute/issue-bound instead of
-bandwidth-bound.
+Per-token HBM traffic drops to an embedding-row read and a logits-row
+write — decode becomes issue/op-latency-bound instead of bandwidth-bound,
+so the kernel is shaped to MINIMIZE OP COUNT: activations ride sublanes
+(B rows per matmul), and attention computes every head at once as two
+block-diagonal matmuls (heads on sublanes) with one row-wise softmax for
+all (sequence, head) pairs.  Measured on v5e (12.8 s utterance, 5120
+tokens): 29k tok/s at B=1 (RTF 0.014), 99.9k aggregate at B=8 — vs
+9.6k / 22.4k for the step scans.
 
-Numerics mirror ``infer/quant_decode.quant_step_with_kv`` exactly (same
-int8 per-output-channel weight quantization from ``quantize_decoder_params``,
-same f32 LayerNorm/softmax/accumulation points, exact erf GELU); parity is
-pinned by ``tests/test_decode_megakernel.py`` against the step-scan path.
+Numerics in weight_dtype="int8" mode mirror
+``infer/quant_decode.quant_step_with_kv`` (same int8 per-output-channel
+weight quantization from ``quantize_decoder_params``, same f32
+LayerNorm/softmax/accumulation points, exact erf GELU); parity is pinned
+by ``tests/test_decode_megakernel.py`` against the step-scan path.
+weight_dtype="bfloat16" pre-folds the scales into bf16 weights (faster;
+adds only bf16 weight rounding).
 
 Reference: the synthesis loop the upstream repo documents but never ships
 (reference: mamba_decoder.py:188-256, README.md:14-28).
@@ -321,7 +333,7 @@ def _outer(a, b):
 
 
 def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
-                 unroll_steps: int, batch: int):
+                 unroll_steps: int, batch: int, sample: bool):
     c = cfg
     m = c.with_mamba_dims().mamba
     L, d, di, N = c.n_layers, c.d_model, m.d_inner, m.d_state
@@ -334,6 +346,8 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
     def kernel(*refs):
         if teacher_force:
             forced_ref, refs = refs[0], refs[1:]
+        if sample:
+            gumbel_ref, refs = refs[0], refs[1:]
         (
             emb_ref, te_ref, norms_ref, in_w_ref, in_s_ref, conv_w_ref,
             conv_b_ref, xp_dt_ref, xp_B_ref, xp_C_ref, dt_w_ref, dt_b_ref,
@@ -357,9 +371,10 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
 
         for u in range(unroll_steps):
             _decode_one(u, refs=refs,
-                        forced_ref=forced_ref if teacher_force else None)
+                        forced_ref=forced_ref if teacher_force else None,
+                        gumbel_ref=gumbel_ref if sample else None)
 
-    def _decode_one(u, refs, forced_ref):
+    def _decode_one(u, refs, forced_ref, gumbel_ref):
         (
             emb_ref, te_ref, norms_ref, in_w_ref, in_s_ref, conv_w_ref,
             conv_b_ref, xp_dt_ref, xp_B_ref, xp_C_ref, dt_w_ref, dt_b_ref,
@@ -482,9 +497,16 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
         ) + head_b_ref[...]  # (B, Vpad) f32, masked at specials/pads
         logits_ref[u] = logits
         if forced_ref is None:
-            mx = logits.max(axis=1, keepdims=True)
-            iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            idx = jnp.where(logits == mx, iota, jnp.int32(2 ** 30)).min(
+            # greedy argmax, or Gumbel-max categorical sampling when a
+            # temperature-scaled noise stream rides along (the argmax of
+            # logits/T + g equals that of logits + T*g; the noise is
+            # jax.random.gumbel generated OUTSIDE the kernel, streamed one
+            # (B, Vpad) row per step, so sampling numerics are ordinary
+            # jax.random and the kernel stays interpret-mode testable)
+            choice = logits + gumbel_ref[u] if gumbel_ref is not None else logits
+            mx = choice.max(axis=1, keepdims=True)
+            iota = jax.lax.broadcasted_iota(jnp.int32, choice.shape, 1)
+            idx = jnp.where(choice == mx, iota, jnp.int32(2 ** 30)).min(
                 axis=1, keepdims=True
             )  # first argmax per row, (B, 1)
             oh_s[:] = (iota == idx).astype(jnp.bfloat16)
@@ -498,7 +520,8 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
 )
 def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
                      interpret: bool, forced_oh: Optional[jax.Array] = None,
-                     unroll_steps: int = 1):
+                     unroll_steps: int = 1,
+                     gumbel: Optional[jax.Array] = None):
     c = cfg
     total = c.num_quantizers * frames_per_stream
     Vpad = plan.token_embed.shape[0]
@@ -529,6 +552,9 @@ def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
     if teacher_force:
         operands.append(forced_oh)  # (total, B, Vpad)
         in_specs.append(step_spec(operands[-1]))
+    if gumbel is not None:
+        operands.append(gumbel)  # (total, B, Vpad) f32, already T-scaled
+        in_specs.append(step_spec(operands[-1]))
     for name, arr in plan._asdict().items():
         if name == "emb_pq":
             operands.append(arr[:, None, :])
@@ -538,7 +564,7 @@ def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
             in_specs.append(const_spec(arr))
 
     logits = pl.pallas_call(
-        _make_kernel(c, c.bos_id, teacher_force, U, B),
+        _make_kernel(c, c.bos_id, teacher_force, U, B, gumbel is not None),
         grid=(total // U,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((U, B, Vpad), lambda t: (t, 0, 0),
@@ -574,11 +600,17 @@ def megakernel_greedy_decode(
     unroll_steps: int = 1,
     weight_dtype: str = "bfloat16",
     kv_dtype: str = "bfloat16",
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
 ) -> DecodeResult:
-    """Greedy decode of the full utterance in one fused Pallas kernel.
+    """Greedy (or Gumbel-max sampled) decode of the full utterance in one
+    fused Pallas kernel.
 
-    Same contract as ``infer.quant_decode.greedy_decode_int8`` restricted to
-    temperature=0.  B=1 is the latency serving shape; small batches ride the
+    Same contract as ``infer.quant_decode.greedy_decode_int8``.
+    ``temperature > 0`` samples categorically via streamed pre-scaled
+    jax.random.gumbel noise (distribution-identical to the step scan's
+    ``categorical``; the RNG stream differs — one (total, B, V) draw instead
+    of per-step key splits).  B=1 is the latency serving shape; small batches ride the
     same kernel (activation rows batch on sublanes, attention/SSM state
     updates loop per sequence) — but per-sequence K/V must stay VMEM-resident
     (~5.3 MB per sequence per layer at the flagship memory length in bf16),
@@ -606,14 +638,26 @@ def megakernel_greedy_decode(
     )
     plan = _build_plan(c, qparams, KV, memory_mask, films, frames_per_stream,
                        weight_dtype=weight_dtype, kv_dtype=kv_dtype)
+    Vpad = plan.token_embed.shape[0]
     forced_oh = None
     if forced_tokens is not None:
-        Vpad = plan.token_embed.shape[0]
         ft = jnp.atleast_2d(forced_tokens)  # (B, total)
         forced_oh = jax.nn.one_hot(ft.T, Vpad, dtype=jnp.bfloat16)
+    gumbel = None
+    if temperature > 0.0:
+        # Gumbel-max categorical sampling: argmax(logits/T + g) has the same
+        # distribution as categorical(logits/T); equivalently argmax of
+        # logits + T*g, so the kernel adds a pre-scaled streamed noise row.
+        if rng is None:
+            raise ValueError("temperature > 0 requires an rng key")
+        gumbel = temperature * jax.random.gumbel(
+            rng, (total, B, Vpad), jnp.float32
+        )
     logits = _megakernel_call(c, plan, frames_per_stream, interpret, forced_oh,
-                              unroll_steps=unroll_steps)  # (total, B, Vpad)
-    tokens = jnp.argmax(logits, axis=2).astype(jnp.int32).T  # (B, total)
+                              unroll_steps=unroll_steps,
+                              gumbel=gumbel)  # (total, B, Vpad)
+    choice = logits if gumbel is None else logits + gumbel
+    tokens = jnp.argmax(choice, axis=2).astype(jnp.int32).T  # (B, total)
     if collect_logits:
         return DecodeResult(
             tokens=tokens,

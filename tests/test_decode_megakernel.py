@@ -147,6 +147,32 @@ def test_unrolled_grid_matches_single_step():
     assert np.abs(outs[1][1] - outs[3][1]).max() == 0.0
 
 
+def test_sampled_decode():
+    """Gumbel-max sampling: near-zero temperature reproduces greedy; the
+    same key reproduces; different keys diverge; tokens stay in range."""
+    cfg = _tiny()
+    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg, seed=2)
+    F = 4
+
+    def run(temperature, seed=None):
+        return np.asarray(megakernel_greedy_decode(
+            dec, variables, qparams, th, z, F, text_mask=tm, ref_hidden=rh,
+            ref_mask=rm, temperature=temperature,
+            rng=None if seed is None else jax.random.PRNGKey(seed),
+        ).tokens)
+
+    greedy = run(0.0)
+    near_greedy = run(1e-4, seed=0)
+    assert (near_greedy == greedy).all()
+    s1, s1b, s2 = run(2.0, seed=1), run(2.0, seed=1), run(2.0, seed=7)
+    assert (s1 == s1b).all()
+    assert (s1 != s2).any()
+    assert (s1 >= cfg.num_special_tokens).all()
+    assert (s1 < cfg.vocab_size_audio).all()
+    with pytest.raises(ValueError):
+        run(1.0)  # temperature > 0 without an rng key
+
+
 def test_int8_kv_mode_close_to_bf16():
     """kv_dtype="int8" (per-channel K/V with scales folded into q / the
     output row) stays within per-channel-quantization error of the bf16-KV
