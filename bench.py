@@ -201,6 +201,18 @@ def main():
     except Exception as e:
         extras["megakernel_tokens_per_sec_b1"] = f"error: {type(e).__name__}"
 
+    # End-to-end serving RTF (G2P + encoders + decode + vocoder), same
+    # child-with-timeout pattern (benchmarks/e2e_synthesis_bench.py).
+    try:
+        child = subprocess.run(
+            [sys.executable, "benchmarks/e2e_synthesis_bench.py", "--runs", "2"],
+            capture_output=True, text=True, timeout=1200, check=True,
+        )
+        e2e = json.loads(child.stdout.strip().splitlines()[-1])
+        extras["e2e_rtf"] = e2e["e2e_rtf"]
+    except Exception as e:
+        extras["e2e_rtf"] = f"error: {type(e).__name__}"
+
     # ---- roofline accounting (per decode step = one token per sequence) ---
     def _bytes(t):
         return int(t.size) * t.dtype.itemsize

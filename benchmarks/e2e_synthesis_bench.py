@@ -1,0 +1,68 @@
+"""End-to-end synthesis RTF on TPU: text -> waveform through the whole
+production pipeline (G2P front-end, text encoder, BERT style encoder + SMSD
+sample, FACodec voice-prompt encode, decode, FACodec vocoder) — not just the
+decoder loop that bench.py headlines.
+
+Random-init weights (timing only); frames pinned to the 12.8 s bucket so the
+number matches the BASELINE scenario.  First call compiles, the reported
+wall is the warm steady-state serving latency.
+
+    python benchmarks/e2e_synthesis_bench.py [--quant megakernel] [--runs 3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quant", default="megakernel",
+                        choices=("none", "int8", "int8_kv", "megakernel"))
+    parser.add_argument("--frames", type=int, default=1024)
+    parser.add_argument("--runs", type=int, default=3)
+    args = parser.parse_args(argv)
+
+    from mamba_tts_tpu.config import TTSConfig
+    from mamba_tts_tpu.infer.synthesize import load_synthesizer
+
+    cfg = TTSConfig()  # defaults ARE the flagship scale
+    synth = load_synthesizer(cfg, quant=args.quant)
+
+    text = ("the quick brown fox jumps over the lazy dog near the riverbank "
+            "on a quiet october morning")
+    style = "speak slowly in a calm low voice"
+    t = np.arange(3 * cfg.codec.sample_rate) / cfg.codec.sample_rate
+    voice = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+
+    t0 = time.perf_counter()
+    wav, info = synth.synthesize(text, style, voice, frames=args.frames)
+    compile_s = time.perf_counter() - t0
+
+    best = None
+    for _ in range(args.runs):
+        wav, info = synth.synthesize(text, style, voice, frames=args.frames)
+        if best is None or info["wall_seconds"] < best["wall_seconds"]:
+            best = info
+    print(json.dumps({
+        "quant": args.quant,
+        "e2e_rtf": round(best["rtf"], 4),
+        "wall_s": round(best["wall_seconds"], 3),
+        "audio_seconds": round(best["audio_seconds"], 2),
+        "tokens": best["tokens"],
+        "compile_s": round(compile_s, 1),
+        "wav_samples": int(wav.shape[0]),
+        "wav_finite": bool(np.isfinite(wav).all()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

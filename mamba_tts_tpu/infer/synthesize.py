@@ -193,6 +193,18 @@ class Synthesizer:
             self._decode_cache[key] = run
         return self._decode_cache[key]
 
+    def _encode_voice(self, voice_wavs):
+        """Tokenize voice prompts, then TRIM the codec grid to a 64-frame
+        bucket of the true prompt length.  The tokenizer pads to the full
+        ``max_seq_len`` (1024 frames = 5120 ref tokens); carrying that into
+        the decoder multiplies cross-attention K/V by ~4x for a typical 3 s
+        prompt — past VMEM for the megakernel and pure waste for the scans
+        (padding is masked, but its K/V still streams every step)."""
+        voice_codec, voice_lens, _ = self.tokenizer.encode_with_lengths(voice_wavs)
+        S = int(min(self.cfg.codec.max_seq_len,
+                    -(-max(8, int(voice_lens.max())) // 64) * 64))
+        return voice_codec[:, :S]
+
     def predict_frames(self, phoneme_ids, text_mask) -> int:
         """Frame budget from the duration predictor (sum of exp(log_dur)).
         One jitted call, one scalar shipped back."""
@@ -220,7 +232,7 @@ class Synthesizer:
             [text], pad_to=self.cfg.data.max_text_len
         )
         style_bert = np.asarray(self.style_encoder.embed([style_prompt]))
-        voice_codec, _, _ = self.tokenizer.encode_with_lengths([voice_wav])
+        voice_codec = self._encode_voice([voice_wav])
         if frames is None:
             frames = self.predict_frames(phoneme_ids, text_mask)
         # Static-shape buckets for the decode scan (bounded recompiles).
@@ -271,7 +283,7 @@ class Synthesizer:
             list(texts), pad_to=self.cfg.data.max_text_len
         )
         style_bert = np.asarray(self.style_encoder.embed(list(style_prompts)))
-        voice_codec, _, _ = self.tokenizer.encode_with_lengths(list(voice_wavs))
+        voice_codec = self._encode_voice(list(voice_wavs))
         if frames is None:
             frames = self.predict_frames(phoneme_ids, text_mask)
         frames = int(min(-(-frames // 64) * 64, self.cfg.codec.max_seq_len))

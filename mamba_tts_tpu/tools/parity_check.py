@@ -58,37 +58,29 @@ def measure_parity(model, params, cfg, frames: int, seed: int = 0):
     ref_hidden, ref_mask = model.apply(mvars, batch["voice_codec"], method=MambaTTS.embed_voice)
 
     dec_vars = {"params": params["decoder"]}
-    res = jax.jit(
-        lambda: greedy_decode(
-            decoder, dec_vars, text_hidden, z_style, frames,
-            text_mask=batch["text_mask"], ref_hidden=ref_hidden, ref_mask=ref_mask,
-            collect_logits=True,
-        )
-    )()
-    tokens = jax.device_get(res.tokens)  # (B, Q*frames)
-    dec_logits = np.asarray(jax.device_get(res.logits), np.float32)
-
-    # Teacher-forcing re-run on the decoded stream: inputs [BOS, y_0..y_{n-2}]
-    # with the slot ids of the full grid (exactly the decode-side embedding).
-    total = Q * frames
-    inp = np.concatenate(
-        [np.full((tokens.shape[0], 1), dec_cfg.bos_id, np.int32), tokens[:, :-1]], axis=1
-    )
     quant_ids = np.repeat(np.arange(Q), frames)[None].astype(np.int32)
     pos_ids = np.tile(np.arange(frames), Q)[None].astype(np.int32)
 
-    results = {}
-    for kernel in ("pallas", "xla"):
+    def fwd_run(kernel, tokens):
+        """Teacher-forcing re-run on a decoded stream: inputs
+        [BOS, y_0..y_{n-2}] with the slot ids of the full grid (exactly the
+        decode-side embedding)."""
+        inp = np.concatenate(
+            [np.full((tokens.shape[0], 1), dec_cfg.bos_id, np.int32),
+             tokens[:, :-1]], axis=1,
+        )
         fwd_cfg = dataclasses.replace(dec_cfg, use_pallas=(kernel == "pallas"))
         fwd_dec = MambaTTSDecoder(fwd_cfg)
         fwd_logits = jax.jit(
-            lambda: fwd_dec.apply(
-                dec_vars, jnp.asarray(inp), text_hidden, z_style,
+            lambda inp: fwd_dec.apply(
+                dec_vars, inp, text_hidden, z_style,
                 batch["text_mask"], ref_hidden, ref_mask,
                 quant_ids=jnp.asarray(quant_ids), pos_ids=jnp.asarray(pos_ids),
             )
-        )()
-        fwd_logits = np.asarray(jax.device_get(fwd_logits), np.float32)
+        )(jnp.asarray(inp))
+        return np.asarray(jax.device_get(fwd_logits), np.float32)
+
+    def stats(tokens, dec_logits, fwd_logits):
         # decode masks the special ids before argmax; match it
         fwd_masked = fwd_logits.copy()
         fwd_masked[:, :, : dec_cfg.num_special_tokens] = -1e9
@@ -101,13 +93,49 @@ def measure_parity(model, params, cfg, frames: int, seed: int = 0):
         rel = np.abs(dl - fl) / max(denom, 1e-9)
         gap = np.sort(fwd_masked, axis=-1)
         margin = (gap[..., -1] - gap[..., -2]).mean()  # trained top-2 margin
-        results[kernel] = {
+        return {
             "argmax_flip_rate": float(flips),
             "logit_rel_diff_max": float(rel.max()),
             "logit_rel_diff_mean": float(rel.mean()),
             "top2_margin_mean": float(margin),
             "positions": int(tokens.size),
         }
+
+    res = jax.jit(
+        lambda: greedy_decode(
+            decoder, dec_vars, text_hidden, z_style, frames,
+            text_mask=batch["text_mask"], ref_hidden=ref_hidden, ref_mask=ref_mask,
+            collect_logits=True,
+        )
+    )()
+    tokens = jax.device_get(res.tokens)  # (B, Q*frames)
+    dec_logits = np.asarray(jax.device_get(res.logits), np.float32)
+
+    results = {}
+    for kernel in ("pallas", "xla"):
+        results[kernel] = stats(tokens, dec_logits, fwd_run(kernel, tokens))
+
+    # Megakernel decode in each residency config, judged the same way: its
+    # OWN greedy stream re-scored by the teacher-forcing forward.
+    from mamba_tts_tpu.infer.quant_decode import quantize_decoder_params
+    from mamba_tts_tpu.ops.decode_megakernel import megakernel_greedy_decode
+
+    qparams = quantize_decoder_params(params["decoder"], dec_cfg)
+    for wd, kvd in (("bfloat16", "bfloat16"), ("int8", "bfloat16"),
+                    ("int8", "int8")):
+        res_m = jax.jit(
+            lambda wd=wd, kvd=kvd: megakernel_greedy_decode(
+                decoder, dec_vars, qparams, text_hidden, z_style, frames,
+                text_mask=batch["text_mask"], ref_hidden=ref_hidden,
+                ref_mask=ref_mask, collect_logits=True,
+                weight_dtype=wd, kv_dtype=kvd,
+            )
+        )()
+        tok_m = jax.device_get(res_m.tokens)
+        log_m = np.asarray(jax.device_get(res_m.logits), np.float32)
+        results[f"megakernel_{wd[:4]}w_{kvd[:4]}kv"] = stats(
+            tok_m, log_m, fwd_run("pallas", tok_m)
+        )
     return results
 
 

@@ -31,7 +31,8 @@ def test_step_timer():
     for _ in range(3):
         with t:
             time.sleep(0.01)
-    assert 0.005 < t.mean < 0.1
+    # no upper bound: sleep() overshoots arbitrarily on a loaded machine
+    assert t.mean > 0.005
     assert t.best <= t.mean + 1e-9
 
 
