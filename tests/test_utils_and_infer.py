@@ -126,3 +126,22 @@ def test_synthesize_megakernel_serving_path():
     assert tokens.shape == (1, Q * F)
     assert (tokens >= cfg.decoder.num_special_tokens).all()
     assert (tokens < cfg.decoder.vocab_size_audio).all()
+
+
+def test_encode_voice_trims_prompt_padding():
+    """The voice-prompt codec grid is trimmed to a 64-frame bucket of the
+    true prompt length instead of the tokenizer's full max_seq_len padding
+    (which quadrupled decode cross-attention K/V for short prompts)."""
+    from mamba_tts_tpu.infer.synthesize import load_synthesizer
+
+    cfg = cl.from_json(open("tests/smoke_config.json").read())
+    synth = load_synthesizer(cfg)
+    sr = cfg.codec.sample_rate
+    t = np.arange(int(0.5 * sr)) / sr  # 0.5 s -> ~40 frames -> bucket 64
+    voice = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    codec = synth._encode_voice([voice])
+    S = codec.shape[1]
+    assert S % 64 == 0 and S < cfg.codec.max_seq_len
+    # true frames all non-pad; bucket tail padded
+    frames = int(-(-len(t) // synth.tokenizer.hop))
+    assert (codec[0, :frames] != cfg.decoder.pad_id).all()
