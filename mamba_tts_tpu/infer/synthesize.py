@@ -40,6 +40,26 @@ from mamba_tts_tpu.text.processor import PhonemeFrontend
 _MEGAKERNEL_UNROLL = 1
 
 
+def _run_chunked(run, arrays, rng, chunk):
+    """Call the jitted decode in row chunks of <= ``chunk`` and concatenate.
+
+    The megakernel tops out at B=8 per call (VMEM residency), but one B=8
+    call delivers ~100k tok/s — 4x what the monolithic step scan manages at
+    ANY batch (B=16 measured 23.9k).  So large serving batches are fastest
+    as sequential full-rate chunks.  ``chunk=None`` runs monolithic."""
+    import jax as _jax
+
+    B = arrays[0].shape[0]
+    if chunk is None or B <= chunk:
+        return run(*arrays, rng)
+    keys = _jax.random.split(rng, -(-B // chunk))
+    outs = []
+    for i, lo in enumerate(range(0, B, chunk)):
+        sl = [a[lo:lo + chunk] for a in arrays]
+        outs.append(run(*sl, keys[i]))
+    return jnp.concatenate(outs, axis=0)
+
+
 def _megakernel_dtypes(batch: int):
     """(weight_dtype, kv_dtype) fitting VMEM at flagship scale, or None to
     fall back to the step scan.  Measured v5e aggregate tok/s: B=1 29k,
@@ -291,12 +311,16 @@ class Synthesizer:
         run = self._decode_fn(frames, temperature)
         tokens = np.asarray(
             jax.device_get(
-                run(
-                    jnp.asarray(phoneme_ids),
-                    jnp.asarray(text_mask),
-                    jnp.asarray(style_bert),
-                    jnp.asarray(voice_codec),
+                _run_chunked(
+                    run,
+                    (
+                        jnp.asarray(phoneme_ids),
+                        jnp.asarray(text_mask),
+                        jnp.asarray(style_bert),
+                        jnp.asarray(voice_codec),
+                    ),
                     jax.random.PRNGKey(seed),
+                    chunk=8 if self.quant == "megakernel" else None,
                 )
             )
         )

@@ -145,3 +145,30 @@ def test_encode_voice_trims_prompt_padding():
     # true frames all non-pad; bucket tail padded
     frames = int(-(-len(t) // synth.tokenizer.hop))
     assert (codec[0, :frames] != cfg.decoder.pad_id).all()
+
+
+def test_run_chunked():
+    """Batch chunking splits rows into <=chunk calls with per-chunk rng keys
+    and concatenates; monolithic when chunk is None or B <= chunk."""
+    import jax.numpy as jnp
+
+    from mamba_tts_tpu.infer.synthesize import _run_chunked
+
+    calls = []
+
+    def fake_run(a, b, rng):
+        calls.append((a.shape[0], tuple(np.asarray(rng))))
+        return a * 10 + b
+
+    a = jnp.arange(10, dtype=jnp.float32)[:, None]
+    b = jnp.ones((10, 1), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    out = _run_chunked(fake_run, (a, b), rng, chunk=4)
+    assert out.shape == (10, 1)
+    assert np.allclose(np.asarray(out), np.asarray(a) * 10 + 1)
+    assert [c[0] for c in calls] == [4, 4, 2]
+    assert len({c[1] for c in calls}) == 3  # distinct rng per chunk
+
+    calls.clear()
+    out2 = _run_chunked(fake_run, (a, b), rng, chunk=None)
+    assert calls[0][0] == 10 and np.allclose(np.asarray(out2), np.asarray(out))
