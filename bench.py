@@ -136,6 +136,16 @@ def main():
     from mamba_tts_tpu.infer.quant_decode import greedy_decode_int8
     from mamba_tts_tpu.models.decoder import greedy_decode
 
+    t_start = time.monotonic()
+    # total wall budget: the remote-compile cache evicts within hours, so a
+    # fully cold run can cost ~25 min of step-scan compiles + two child
+    # processes; child timeouts shrink to whatever budget remains so the
+    # headline ALWAYS prints.
+    budget_s = float(__import__("os").environ.get("BENCH_BUDGET_S", 3600))
+
+    def remaining():
+        return budget_s - (time.monotonic() - t_start)
+
     cfg, dec, variables, qparams, th1, z1, rh1 = _flagship_setup()
     Q = cfg.num_quantizers
 
@@ -189,7 +199,8 @@ def main():
     try:
         child = subprocess.run(
             [sys.executable, __file__, "--megakernel-child"],
-            capture_output=True, text=True, timeout=1500, check=True,
+            capture_output=True, text=True,
+            timeout=max(120, min(1500, remaining() - 300)), check=True,
         )
         mega = json.loads(child.stdout.strip().splitlines()[-1])
         extras["megakernel_tokens_per_sec_b1"] = mega["tokens_per_sec"]
@@ -206,7 +217,8 @@ def main():
     try:
         child = subprocess.run(
             [sys.executable, "benchmarks/e2e_synthesis_bench.py", "--runs", "2"],
-            capture_output=True, text=True, timeout=1200, check=True,
+            capture_output=True, text=True,
+            timeout=max(120, min(1650, remaining() - 60)), check=True,
         )
         e2e = json.loads(child.stdout.strip().splitlines()[-1])
         extras["e2e_rtf"] = e2e["e2e_rtf"]
