@@ -172,3 +172,13 @@ def test_run_chunked():
     calls.clear()
     out2 = _run_chunked(fake_run, (a, b), rng, chunk=None)
     assert calls[0][0] == 10 and np.allclose(np.asarray(out2), np.asarray(out))
+
+
+def test_megakernel_dtype_selection():
+    from mamba_tts_tpu.infer.synthesize import _megakernel_dtypes
+
+    assert _megakernel_dtypes(1) == ("bfloat16", "bfloat16")
+    assert _megakernel_dtypes(2) == ("bfloat16", "bfloat16")
+    assert _megakernel_dtypes(4) == ("int8", "bfloat16")
+    assert _megakernel_dtypes(8) == ("int8", "int8")
+    assert _megakernel_dtypes(9) is None  # falls back to the step scan
