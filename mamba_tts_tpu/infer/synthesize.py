@@ -89,9 +89,10 @@ class Synthesizer:
         precision-exact with training), "int8" (weight-streaming int8 matvecs
         via ops/int8_matvec.py), "int8_kv" (additionally int8 per-layer
         cross-attention K/V — the dominant traffic term of batched decode), or
-        "megakernel" (ops/decode_megakernel.py: the whole greedy decode as ONE
-        pallas_call with VMEM-resident int8 weights — the fastest B=1 latency
-        path; sampled (temperature>0) and batched decodes fall back to the
+        "megakernel" (ops/decode_megakernel.py: the whole decode as ONE
+        pallas_call with VMEM-resident weights — the fastest serving path;
+        handles greedy AND Gumbel-max sampled decodes at B<=8 with per-batch
+        residency dtypes (_megakernel_dtypes); only B>8 falls back to the
         int8 step scan)."""
         if quant not in ("none", "int8", "int8_kv", "megakernel"):
             raise ValueError(
@@ -220,7 +221,7 @@ class Synthesizer:
         the decoder multiplies cross-attention K/V by ~4x for a typical 3 s
         prompt — past VMEM for the megakernel and pure waste for the scans
         (padding is masked, but its K/V still streams every step)."""
-        voice_codec, voice_lens, _ = self.tokenizer.encode_with_lengths(voice_wavs)
+        voice_codec, _, voice_lens = self.tokenizer.encode_with_lengths(voice_wavs)
         S = int(min(self.cfg.codec.max_seq_len,
                     -(-max(8, int(voice_lens.max())) // 64) * 64))
         return voice_codec[:, :S]

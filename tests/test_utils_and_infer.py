@@ -146,6 +146,17 @@ def test_encode_voice_trims_prompt_padding():
     frames = int(-(-len(t) // synth.tokenizer.hop))
     assert (codec[0, :frames] != cfg.decoder.pad_id).all()
 
+    # Prompt LONGER than one 64-frame bucket: the trim must cover every true
+    # frame (regression for unpacking the spk embedding as lengths, which
+    # silently clamped any prompt to the first bucket).
+    t_long = np.arange(100 * synth.tokenizer.hop) / sr  # 100 true frames
+    voice_long = (0.3 * np.sin(2 * np.pi * 220 * t_long)).astype(np.float32)
+    codec_long = synth._encode_voice([voice_long])
+    true_frames = int(-(-len(t_long) // synth.tokenizer.hop))
+    S_long = codec_long.shape[1]
+    assert S_long >= -(-true_frames // 64) * 64
+    assert (codec_long[0, :true_frames] != cfg.decoder.pad_id).all()
+
 
 def test_run_chunked():
     """Batch chunking splits rows into <=chunk calls with per-chunk rng keys
