@@ -14,23 +14,33 @@ constants, fixed per checkpoint) — measured +41% over params-as-arguments on
 v5e (XLA pins the ~93 MB of weights + 20 MB K/V in the 128 MB VMEM instead
 of re-streaming them from HBM every step).  Headline = the fastest correct
 B=1 serving path: the decode megakernel (ops/decode_megakernel.py — the whole
-greedy decode as ONE pallas_call, int8 weights VMEM-resident) when it
-compiles in time, else the bf16 step scan.  Extras report the bf16 scan, the
-int8 weight-streaming scan (ops/int8_matvec.py) and the B=8 batched shape.
+greedy decode as ONE pallas_call, weights VMEM-resident) when it compiles in
+time, else the bf16 step scan.  Extras report the step-scan variants, batched
+shapes, training throughput, and end-to-end RTF.
 
-Extras include roofline accounting vs HBM peak; with constants resident in
-VMEM the B=1 "HBM fraction" exceeds 1 by design — the bytes simply no longer
+Architecture (round-3 hardening): the PARENT process runs no jax compiles at
+all — every timed path executes in a child subprocess with a hard deadline
+derived from the remaining budget, and children print one JSON line per
+completed milestone (flushed), so partial progress survives a killed child.
+The headline therefore always prints, even on a fully cold remote-compile
+cache: whatever milestones landed inside the budget define it, and a final
+SIGALRM belt emits a degraded-but-parseable line if the parent itself is
+about to exceed the budget.  A persistent jax compilation cache
+(.jax_cache/) is enabled in every child so warm-up runs amortize driver runs.
+
+Roofline extras account bytes vs HBM peak; with constants resident in VMEM
+the B=1 "HBM fraction" exceeds 1 by design — the bytes simply no longer
 move through HBM.  B=8 K/V (8 x 20.5 MB) cannot fit and stays HBM-bound.
 """
 from __future__ import annotations
 
 import json
+import os
+import signal
 import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
+from pathlib import Path
 
 # TPU v5e (this bench's target chip): 819 GB/s HBM, 197 bf16 TFLOP/s.
 HBM_PEAK = 819e9
@@ -38,11 +48,42 @@ FLOPS_PEAK = 197e12
 
 F = 1024  # frames per stream (12.8 s of audio)
 T_text, T_ref = 50, 1200  # 3 s voice prompt x 5 streams
+Q = 5  # quantizer streams (flagship num_quantizers)
 
+_HERE = Path(__file__).resolve().parent
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache shared across bench child processes
+    (and across bench invocations — a warm-up run pre-pays the driver run's
+    compiles).  Best-effort: harmless if the backend ignores it."""
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", str(_HERE / ".jax_cache")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+# --------------------------------------------------------------------------
+# child-side helpers (import jax lazily so the parent never initializes it)
+# --------------------------------------------------------------------------
 
 def _cast_params_bf16(params):
     """Cast f32 params to bf16 for the bandwidth-bound decode, except the
     small f32 vocab head."""
+    import jax
+    import jax.numpy as jnp
 
     def cast(path, x):
         path_str = "/".join(str(getattr(k, "key", k)) for k in path)
@@ -55,19 +96,21 @@ def _cast_params_bf16(params):
 
 def _flagship_setup():
     """Flagship decoder + fixed random conditioning at the headline scenario
-    shapes.  Deterministic (seed 0) so every invocation — including the
-    megakernel child process — traces byte-identical HLO and hits the
-    remote-compile cache."""
+    shapes.  Deterministic (seed 0) so every child process traces
+    byte-identical HLO and hits the compile caches."""
+    import jax
+    import jax.numpy as jnp
+
     from __graft_entry__ import _flagship_cfg
     from mamba_tts_tpu.infer.quant_decode import quantize_decoder_params
     from mamba_tts_tpu.models.decoder import MambaTTSDecoder
 
     cfg = _flagship_cfg()
     dec = MambaTTSDecoder(cfg)
-    Q = cfg.num_quantizers
+    nq = cfg.num_quantizers
 
     ks = jax.random.split(jax.random.PRNGKey(0), 6)
-    audio_tokens = jax.random.randint(ks[0], (1, Q, 8), 2, cfg.vocab_size_audio)
+    audio_tokens = jax.random.randint(ks[0], (1, nq, 8), 2, cfg.vocab_size_audio)
     th1 = jax.random.normal(ks[1], (1, T_text, cfg.d_model), jnp.bfloat16)
     z1 = jax.random.normal(ks[2], (1, cfg.d_style), jnp.bfloat16)
     rh1 = jax.random.normal(ks[3], (1, T_ref, cfg.d_model), jnp.bfloat16)
@@ -84,6 +127,8 @@ def _flagship_setup():
 def _timeit(fn, reps=3):
     # device_get (not block_until_ready) — the tunneled TPU backend's
     # block_until_ready does not reliably block.
+    import jax
+
     jax.device_get(fn())  # compile + warm-up
     best = float("inf")
     for _ in range(reps):
@@ -94,9 +139,12 @@ def _timeit(fn, reps=3):
 
 
 def _mega_child():
-    """Child-process entry: megakernel decode at the headline scenario.
-    Runs in a subprocess so a cold Mosaic compile (minutes on the
-    remote-compile service) can time out without hanging the bench."""
+    """Child: megakernel decode at the headline scenario.  Emits one JSON
+    line per completed batch size so a timeout preserves earlier results."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
     from mamba_tts_tpu.ops.decode_megakernel import megakernel_greedy_decode
 
     cfg, dec, variables, qparams, th1, z1, rh1 = _flagship_setup()
@@ -116,38 +164,36 @@ def _mega_child():
         )
 
     wall = _timeit(make(1))
-    out = {
-        "tokens_per_sec": round(cfg.num_quantizers * F / wall, 1),
+    _emit({
+        "k": "megakernel_tokens_per_sec_b1",
+        "v": round(cfg.num_quantizers * F / wall, 1),
         "wall_s": round(wall, 4),
-    }
+    })
     # batched residency variants (per-B dtype choices that fit VMEM; see
     # infer.synthesize._megakernel_dtypes)
-    for key, B, wd, kvd in (("b2_tokens_per_sec", 2, "bfloat16", "bfloat16"),
-                            ("b8_tokens_per_sec", 8, "int8", "int8")):
+    for key, B, wd, kvd in (
+        ("megakernel_tokens_per_sec_b8", 8, "int8", "int8"),
+        ("megakernel_tokens_per_sec_b2", 2, "bfloat16", "bfloat16"),
+    ):
         try:
             wallb = _timeit(make(B, wd, kvd), reps=2)
-            out[key] = round(B * cfg.num_quantizers * F / wallb, 1)
+            _emit({"k": key, "v": round(B * cfg.num_quantizers * F / wallb, 1)})
         except Exception as e:
-            out[key] = f"error: {type(e).__name__}"
-    print(json.dumps(out))
+            _emit({"k": key, "v": f"error: {type(e).__name__}"})
 
 
-def main():
+def _stepscan_child(jobs):
+    """Child: step-scan decode variants, one JSON line per completed job.
+    ``jobs`` tokens: bf16_b1, int8_b1, int8_b8, bf16_b8."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
     from mamba_tts_tpu.infer.quant_decode import greedy_decode_int8
     from mamba_tts_tpu.models.decoder import greedy_decode
 
-    t_start = time.monotonic()
-    # total wall budget: the remote-compile cache evicts within hours, so a
-    # fully cold run can cost ~25 min of step-scan compiles + two child
-    # processes; child timeouts shrink to whatever budget remains so the
-    # headline ALWAYS prints.
-    budget_s = float(__import__("os").environ.get("BENCH_BUDGET_S", 2700))
-
-    def remaining():
-        return budget_s - (time.monotonic() - t_start)
-
     cfg, dec, variables, qparams, th1, z1, rh1 = _flagship_setup()
-    Q = cfg.num_quantizers
+    nq = cfg.num_quantizers
 
     def make_fn(B, kind):
         th = jnp.broadcast_to(th1, (B, T_text, cfg.d_model))
@@ -177,113 +223,258 @@ def main():
             ).tokens
         )
 
-    best = _timeit(make_fn(1, "bf16"))
-    extras = {"bf16_tokens_per_sec_b1": round(Q * F / best, 1)}
-
-    # Megakernel decode FIRST (the fastest serving path and the headline when
-    # it succeeds): isolated in a child process with a hard timeout — a cold
-    # Mosaic compile takes minutes on the remote-compile service and must
-    # never wedge the bench.  Ordering matters: a fully cold run spends most
-    # of its wall on compiles, so headline-critical work runs before the
-    # step-scan extras (which skip gracefully when the budget runs low).
-    decode_path = "bf16_step_scan"
-    try:
-        child = subprocess.run(
-            [sys.executable, __file__, "--megakernel-child"],
-            capture_output=True, text=True,
-            timeout=max(120, min(1500, remaining() - 300)), check=True,
-        )
-        mega = json.loads(child.stdout.strip().splitlines()[-1])
-        extras["megakernel_tokens_per_sec_b1"] = mega["tokens_per_sec"]
-        extras["megakernel_tokens_per_sec_b2"] = mega.get("b2_tokens_per_sec")
-        extras["megakernel_tokens_per_sec_b8"] = mega.get("b8_tokens_per_sec")
-        if mega["wall_s"] < best:
-            best = mega["wall_s"]
-            decode_path = "megakernel"
-    except Exception as e:
-        extras["megakernel_tokens_per_sec_b1"] = f"error: {type(e).__name__}"
-
-    for B, kind, key in ((1, "int8", "int8_tokens_per_sec_b1"),
-                         (8, "int8", "int8_tokens_per_sec_b8"),
-                         (8, "bf16", "batched_tokens_per_sec_b8")):
-        if remaining() < 420:  # each entry may cost a multi-minute compile
-            extras[key] = "skipped: budget"
-            continue
-        try:
-            wall = _timeit(make_fn(B, kind), reps=2)
-            extras[key] = round(B * Q * F / wall, 1)
-            if key == "batched_tokens_per_sec_b8":
-                extras["wall_s_b8"] = round(wall, 3)
-        except Exception as e:  # keep the headline robust
-            extras[key] = f"error: {type(e).__name__}"
-
-    # End-to-end serving RTF (G2P + encoders + decode + vocoder), same
-    # child-with-timeout pattern (benchmarks/e2e_synthesis_bench.py).
-    try:
-        child = subprocess.run(
-            [sys.executable, "benchmarks/e2e_synthesis_bench.py", "--runs", "2"],
-            capture_output=True, text=True,
-            timeout=max(120, min(1650, remaining() - 60)), check=True,
-        )
-        e2e = json.loads(child.stdout.strip().splitlines()[-1])
-        extras["e2e_rtf"] = e2e["e2e_rtf"]
-    except Exception as e:
-        extras["e2e_rtf"] = f"error: {type(e).__name__}"
-
-    # ---- roofline accounting (per decode step = one token per sequence) ---
-    def _bytes(t):
-        return int(t.size) * t.dtype.itemsize
-
-    param_bytes = sum(_bytes(p) for p in jax.tree.leaves(variables))
-    kv_bytes_per_example = cfg.n_layers * 2 * (T_ref + T_text) * cfg.d_model * 2
-    m = cfg.with_mamba_dims().mamba
-    state_bytes_per_example = cfg.n_layers * (
-        2 * m.d_state * m.d_inner * 4 + m.d_conv * m.d_inner * 2
+    # roofline byte accounting (parent consumes via the meta line)
+    param_bytes = sum(
+        int(p.size) * p.dtype.itemsize for p in jax.tree.leaves(variables)
     )
+    m = cfg.with_mamba_dims().mamba
+    _emit({
+        "k": "meta",
+        "param_bytes": param_bytes,
+        "kv_bytes_per_example": cfg.n_layers * 2 * (T_ref + T_text) * cfg.d_model * 2,
+        "state_bytes_per_example": cfg.n_layers * (
+            2 * m.d_state * m.d_inner * 4 + m.d_conv * m.d_inner * 2
+        ),
+        "vocab": cfg.vocab_size_audio,
+        "backend": jax.devices()[0].platform,
+    })
 
-    def roofline(batch, wall):
-        step_bytes = param_bytes + batch * (kv_bytes_per_example + state_bytes_per_example)
-        achieved = step_bytes * Q * F / wall
-        return {
-            "streamed_gb_per_s": round(achieved / 1e9, 1),
-            "hbm_peak_frac": round(achieved / HBM_PEAK, 3),
-        }
+    spec = {
+        "bf16_b1": (1, "bf16", "bf16_tokens_per_sec_b1"),
+        "int8_b1": (1, "int8", "int8_tokens_per_sec_b1"),
+        "int8_b8": (8, "int8", "int8_tokens_per_sec_b8"),
+        "bf16_b8": (8, "bf16", "batched_tokens_per_sec_b8"),
+    }
+    for job in jobs:
+        B, kind, key = spec[job]
+        try:
+            wall = _timeit(make_fn(B, kind), reps=2 if B > 1 else 3)
+            _emit({"k": key, "v": round(B * nq * F / wall, 1),
+                   "wall_s": round(wall, 4)})
+        except Exception as e:
+            _emit({"k": key, "v": f"error: {type(e).__name__}"})
 
-    total_tokens = Q * F
-    tps = total_tokens / best
-    audio_seconds = F / 80.0  # 80 codec frames per second
-    rtf = best / audio_seconds
 
-    result = {
-        "metric": "decode_tokens_per_sec_per_chip",
-        "value": round(tps, 1),
-        "unit": "tokens/s",
-        "vs_baseline": round(tps / 5000.0, 3),
-        "extra": {
-            "rtf": round(rtf, 4),
-            "wall_s": round(best, 3),
+# --------------------------------------------------------------------------
+# parent-side orchestration
+# --------------------------------------------------------------------------
+
+def _run_child(argv, timeout_s, tag):
+    """Run a child, reading newline-delimited JSON incrementally; on deadline
+    kill it and keep whatever lines completed.  Returns list of dicts."""
+    lines = []
+    log_dir = _HERE / ".bench_logs"
+    try:
+        log_dir.mkdir(exist_ok=True)
+        errlog = open(log_dir / f"{tag}.stderr", "w")
+    except Exception:
+        errlog = subprocess.DEVNULL
+    try:
+        proc = subprocess.Popen(
+            argv, stdout=subprocess.PIPE, stderr=errlog,
+            text=True, cwd=str(_HERE),
+        )
+    except Exception:
+        return lines
+    deadline = time.monotonic() + timeout_s
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
+    try:
+        while True:
+            budget = deadline - time.monotonic()
+            if budget <= 0:
+                proc.kill()
+                break
+            if not sel.select(timeout=min(budget, 5.0)):
+                if proc.poll() is not None:
+                    break
+                continue
+            chunk = proc.stdout.readline()
+            if chunk == "":
+                break
+            buf = chunk.strip()
+            if buf.startswith("{"):
+                try:
+                    lines.append(json.loads(buf))
+                except json.JSONDecodeError:
+                    pass
+    finally:
+        sel.close()
+        try:
+            proc.kill()
+        except Exception:
+            pass
+        proc.wait()
+    return lines
+
+
+def main():
+    t_start = time.monotonic()
+    # Total wall budget.  The remote-compile cache is not reliably warm, so a
+    # fully cold run is compile-bound; every child deadline is derived from
+    # what remains so the headline ALWAYS prints inside the budget.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1380))
+
+    def remaining():
+        return budget_s - (time.monotonic() - t_start)
+
+    extras = {}
+    walls = {}  # path -> best wall for the B=1 headline scenario
+
+    def absorb(lines):
+        for d in lines:
+            if d.get("k") == "meta":
+                extras["_meta"] = d
+            elif "k" in d:
+                extras[d["k"]] = d["v"]
+                if isinstance(d.get("wall_s"), float):
+                    walls[d["k"]] = d["wall_s"]
+
+    # Belt: if the parent somehow runs long, still print a parseable line.
+    def _alarm(_sig, _frm):
+        _finalize(emergency=True)
+        os._exit(0)
+
+    def _finalize(emergency=False):
+        meta = extras.pop("_meta", {})
+        b1_keys = ("megakernel_tokens_per_sec_b1", "bf16_tokens_per_sec_b1",
+                   "int8_tokens_per_sec_b1")
+        best_key = None
+        for k in b1_keys:
+            if isinstance(extras.get(k), (int, float)):
+                if best_key is None or extras[k] > extras[best_key]:
+                    best_key = k
+        total_tokens = Q * F
+        audio_seconds = F / 80.0  # 80 codec frames per second
+        if best_key is not None:
+            tps = float(extras[best_key])
+            best_wall = total_tokens / tps
+            decode_path = {"megakernel_tokens_per_sec_b1": "megakernel",
+                           "bf16_tokens_per_sec_b1": "bf16_step_scan",
+                           "int8_tokens_per_sec_b1": "int8_step_scan"}[best_key]
+        else:
+            tps, best_wall, decode_path = 0.0, float("inf"), "none: all paths failed"
+
+        extra = {
+            "rtf": round(best_wall / audio_seconds, 4) if tps else None,
+            "wall_s": round(best_wall, 3) if tps else None,
             "tokens": total_tokens,
             "batch": 1,
             "decode_path": decode_path,
-            "vocab": cfg.vocab_size_audio,
+            "budget_s": budget_s,
+            "elapsed_s": round(time.monotonic() - t_start, 1),
+            **({"emergency": True} if emergency else {}),
             **extras,
-            # >1.0 at B=1 means the constant-folded weights+KV live in VMEM
-            # and no longer stream from HBM (see module docstring).
-            "roofline_b1": roofline(1, best),
-            "roofline_b8": (
-                roofline(8, 8 * Q * F / extras["batched_tokens_per_sec_b8"])
-                if isinstance(extras.get("batched_tokens_per_sec_b8"), float)
-                else None
-            ),
-            "param_mb": round(param_bytes / 1e6, 1),
-            "backend": jax.devices()[0].platform,
-        },
-    }
-    print(json.dumps(result))
+        }
+        if meta:
+            pb = meta["param_bytes"]
+            kvb, stb = meta["kv_bytes_per_example"], meta["state_bytes_per_example"]
+
+            def roofline(batch, wall):
+                step_bytes = pb + batch * (kvb + stb)
+                achieved = step_bytes * Q * F / wall
+                return {
+                    "streamed_gb_per_s": round(achieved / 1e9, 1),
+                    # >1.0 at B=1 means the constant-folded weights+KV live in
+                    # VMEM and no longer stream from HBM (module docstring).
+                    "hbm_peak_frac": round(achieved / HBM_PEAK, 3),
+                }
+
+            if tps:
+                extra["roofline_b1"] = roofline(1, best_wall)
+            if isinstance(extras.get("batched_tokens_per_sec_b8"), (int, float)):
+                extra["roofline_b8"] = roofline(
+                    8, 8 * Q * F / extras["batched_tokens_per_sec_b8"]
+                )
+            extra["param_mb"] = round(pb / 1e6, 1)
+            extra["vocab"] = meta.get("vocab")
+            extra["backend"] = meta.get("backend")
+
+        _emit({
+            "metric": "decode_tokens_per_sec_per_chip",
+            "value": round(tps, 1),
+            "unit": "tokens/s",
+            "vs_baseline": round(tps / 5000.0, 3),
+            "extra": extra,
+        })
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(budget_s) + 60)
+
+    py = sys.executable
+    me = str(_HERE / "bench.py")
+
+    # 1. Megakernel child FIRST: the fastest serving path and the headline
+    #    when it succeeds; B=1 also has the cheapest Mosaic compile.
+    #    Reserve enough tail budget for a step-scan fallback headline.
+    t = max(120.0, min(840.0, remaining() - 420.0))
+    absorb(_run_child([py, me, "--megakernel-child"], t, "mega"))
+    have_headline = isinstance(
+        extras.get("megakernel_tokens_per_sec_b1"), (int, float)
+    )
+    if not have_headline:
+        extras.setdefault("megakernel_tokens_per_sec_b1", "error: timeout")
+
+    # 2. Step-scan child: bf16_b1 first (headline fallback), then extras.
+    jobs = ["bf16_b1", "int8_b8", "bf16_b8", "int8_b1"]
+    reserve = 150.0 if have_headline else 90.0
+    if remaining() > reserve + 60:
+        t = max(60.0, remaining() - reserve)
+        absorb(_run_child([py, me, "--stepscan-child", *jobs], t, "scan"))
+    else:
+        for j in jobs:
+            extras.setdefault(
+                {"bf16_b1": "bf16_tokens_per_sec_b1",
+                 "int8_b1": "int8_tokens_per_sec_b1",
+                 "int8_b8": "int8_tokens_per_sec_b8",
+                 "bf16_b8": "batched_tokens_per_sec_b8"}[j],
+                "skipped: budget",
+            )
+
+    # 3. Training throughput (VERDICT r2 #8): small-shape train step so the
+    #    compile fits the tail budget; reports ms/step + train tokens/s.
+    if remaining() > 150:
+        t = max(60.0, min(420.0, remaining() - 90.0))
+        lines = _run_child(
+            [py, str(_HERE / "benchmarks" / "train_bench.py"),
+             "--batch", "4", "--target_frames", "256", "--voice_frames", "128",
+             "--steps", "2"],
+            t, "train",
+        )
+        got = [d for d in lines if "ms_per_step" in d]
+        if got:
+            extras["train_step_ms"] = got[-1]["ms_per_step"]
+            extras["train_tokens_per_sec"] = got[-1]["train_tokens_per_sec"]
+        else:
+            extras["train_step_ms"] = "error: timeout"
+    else:
+        extras["train_step_ms"] = "skipped: budget"
+
+    # 4. End-to-end serving RTF (G2P + encoders + decode + vocoder).
+    if remaining() > 180:
+        t = max(60.0, remaining() - 60.0)
+        lines = _run_child(
+            [py, str(_HERE / "benchmarks" / "e2e_synthesis_bench.py"),
+             "--runs", "2"],
+            t, "e2e",
+        )
+        got = [d for d in lines if "e2e_rtf" in d]
+        extras["e2e_rtf"] = got[-1]["e2e_rtf"] if got else "error: timeout"
+    else:
+        extras["e2e_rtf"] = "skipped: budget"
+
+    signal.alarm(0)
+    _finalize()
 
 
 if __name__ == "__main__":
     if "--megakernel-child" in sys.argv:
         _mega_child()
+    elif "--stepscan-child" in sys.argv:
+        i = sys.argv.index("--stepscan-child")
+        _stepscan_child(sys.argv[i + 1:])
     else:
         main()
