@@ -324,14 +324,6 @@ def _gelu_exact(x):
     return y.astype(x.dtype)
 
 
-def _outer(a, b):
-    """(1, N) x (1, D) -> (N, D) via a contraction over the unit dim (no
-    transposes — Mosaic-friendly)."""
-    return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-
 def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
                  unroll_steps: int, batch: int, sample: bool):
     c = cfg
@@ -394,7 +386,16 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16) + emb_ref[u]  # (B, d); emb row is shared
 
-        for l in range(L):
+        kv_int8 = K_ref.dtype == jnp.int8
+        hm = hm_ref[...]
+        hm_f = hm.astype(jnp.float32)
+
+        # The layer stack runs as a lax.fori_loop with DYNAMIC leading-dim
+        # indexing into the stacked (L, ...) weight refs, so Mosaic code size
+        # is ONE layer body instead of n_layers copies — this is what keeps
+        # compile time flat in depth (the python-unrolled r2 kernel took
+        # ~3.5 min at B=8 and crashed the remote-compile helper at B>=12).
+        def _layer(l, x):
             nb = norms_ref[l]  # (6, d) f32
             # ---- Mamba step --------------------------------------------
             h = _ln(x, nb[0:1], nb[1:2])
@@ -429,17 +430,15 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
                 + dt_b_ref[l]
             )  # (B, di) f32
             dtx = dt * xc.astype(jnp.float32)
-            ys = []
-            for b in range(B):  # rank-1 state update per sequence
-                a = jnp.exp(dt[b:b + 1] * A_ref[l])  # (N, di) decay
-                b_in = _outer(Bm[b:b + 1], dtx[b:b + 1])  # (N, di)
-                h_new = a * ssm_s[l, b] + b_in
-                ssm_s[l, b] = h_new
-                ys.append(jax.lax.dot_general(
-                    Cm[b:b + 1], h_new, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ))  # (1, di)
-            y = ys[0] if B == 1 else jnp.concatenate(ys, axis=0)
+            # state update vectorized over B as broadcast VPU ops on
+            # (B, N, di) — rank-1 per sequence, no per-b code replication:
+            #   h_new = exp(dt (x) A) * h + Bm (x) (dt * x)
+            #   y     = sum_n Cm[:, n] * h_new[:, n]   (f32 throughout)
+            a = jnp.exp(dt[:, None, :] * A_ref[l][None, :, :])  # (B, N, di)
+            b_in = Bm[:, :, None] * dtx[:, None, :]             # (B, N, di)
+            h_new = a * ssm_s[l] + b_in
+            ssm_s[l] = h_new
+            y = (Cm[:, :, None] * h_new).sum(axis=1)            # (B, di)
             y = (y + xc.astype(jnp.float32) * D_ref[l]).astype(jnp.bfloat16)
             y = y * _silu(z)
             x = x + _dq_dot(y, out_w_ref[l], out_s_ref[l])
@@ -453,7 +452,6 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
             # B — but all B*H softmax rows run as ONE vectorized op.
             h = _ln(x, nb[2:3], nb[3:4])
             q_all = _dq_dot(h, q_w_ref[l], q_s_ref[l], q_b_ref[l])  # (B, d)
-            kv_int8 = K_ref.dtype == jnp.int8
             Ss = []
             for b in range(B):
                 q_b = q_all[b:b + 1]
@@ -461,7 +459,7 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
                     # runs over channels, so scaling q is exact)
                     q_b = (q_b.astype(jnp.float32)
                            * ks_ref[l, b]).astype(jnp.bfloat16)
-                Q8 = hm_ref[...] * q_b  # (H, d) block-diag rows
+                Q8 = hm * q_b  # (H, d) block-diag rows
                 Ss.append(jax.lax.dot_general(
                     Q8, K_ref[l, b], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -469,7 +467,6 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
             S = Ss[0] if B == 1 else jnp.concatenate(Ss, axis=0)
             P = jax.nn.softmax(S, axis=1).astype(jnp.bfloat16)  # (B*H, Tmp)
             outs = []
-            hm_f = hm_ref[...].astype(jnp.float32)
             for b in range(B):
                 O = jax.lax.dot_general(
                     P[b * H:(b + 1) * H], V_ref[l, b], (((1,), (0,)), ((), ())),
@@ -488,6 +485,9 @@ def _make_kernel(cfg: DecoderConfig, bos_id: int, teacher_force: bool,
             h = gamma_ref[l].astype(h.dtype) * h + beta_ref[l].astype(h.dtype)
             h1 = _gelu_exact(_dq_dot(h, ff1_w_ref[l], ff1_s_ref[l], ff1_b_ref[l]))
             x = x + _dq_dot(h1, ff2_w_ref[l], ff2_s_ref[l], ff2_b_ref[l])
+            return x
+
+        x = jax.lax.fori_loop(0, L, _layer, x)
 
         # ---- vocab head + greedy token ----------------------------------
         xf = _ln(x, no_ref[0:1], no_ref[1:2]).astype(jnp.bfloat16)
