@@ -5,20 +5,29 @@ data_utils/text_processor.py:73-114): word -> ARPAbet phonemes.  This
 environment is offline (no g2p_en, no nltk corpora), so the engine is
 layered and fully self-contained:
 
-1. **Lexicon lookup** — a CMU-dict-format file if provided (``cmudict_path``;
-   standard ``WORD  PH PH PH`` lines), drop-in for the real CMUdict; plus a
-   built-in seed lexicon of frequent English words.
-2. **Rule-based letter-to-sound fallback** for out-of-vocabulary words:
-   digraphs, vowel teams, magic-e, and default mappings, with primary stress
-   on the first vowel.  Deterministic and always emits tokens from the
-   79-token phoneme vocabulary.
+1. **Lexicon lookup** — a bundled multi-thousand-entry ARPAbet lexicon
+   (``lexicon_en.txt``, CMU-dict format) of frequent English words, merged
+   under any user-provided CMU-dict file (``cmudict_path``; standard
+   ``WORD  PH PH PH`` lines — drop-in for the real CMUdict).
+2. **Morphological closure** over the lexicon: out-of-lexicon surface forms
+   resolve through voicing-aware inflections (-s/-es/-ed/-ing/-er/-est,
+   possessives), derivational suffixes (-ly/-ness/-ment/-ful/-less/-able/
+   -ish/-y), productive prefixes (un-/re-/dis-/pre-/mis-/non-/over-/...),
+   and two-way compound splitting — multiplying base coverage to tens of
+   thousands of forms with lexicon-grade phonology.
+3. **Rule-based letter-to-sound fallback** for the remainder: digraphs,
+   vowel teams, magic-e, and default mappings, with primary stress on the
+   first vowel.  Deterministic and always emits tokens from the 79-token
+   phoneme vocabulary.
 
 The tokenizer is a TweetTokenizer-like regex word splitter (the reference's
-``EnG2p.word_tokenize``).  Homograph disambiguation (reference uses POS tags)
-degrades gracefully to the lexicon's primary pronunciation offline.
+``EnG2p.word_tokenize``).  Homographs are disambiguated by a POS-lite
+context tagger (``pos_lite``) standing in for the reference's nltk
+``pos_tag`` (reference: data_utils/text_processor.py:95-102).
 """
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, List, Optional, Sequence
 
@@ -144,6 +153,231 @@ def _parse_seed() -> Dict[str, List[str]]:
     return lex
 
 
+_BUILTIN_LEXICON_PATH = os.path.join(os.path.dirname(__file__), "lexicon_en.txt")
+_builtin_cache: Optional[Dict[str, List[str]]] = None
+
+
+def _builtin_lexicon() -> Dict[str, List[str]]:
+    """Bundled CMU-dict-format lexicon (parsed once per process), merged over
+    the inline seed.  Dictionary-scale stand-in for g2p_en's CMUdict
+    (reference: data_utils/text_processor.py:73-114)."""
+    global _builtin_cache
+    if _builtin_cache is None:
+        lex = _parse_seed()
+        if os.path.exists(_BUILTIN_LEXICON_PATH):
+            with open(_BUILTIN_LEXICON_PATH, encoding="latin-1") as f:
+                for line in f:
+                    if line.startswith(";;;") or not line.strip():
+                        continue
+                    parts = line.split()
+                    word = parts[0].lower()
+                    if re.search(r"\(\d+\)$", word):  # alternates: primary wins
+                        continue
+                    lex[word] = parts[1:]
+        _builtin_cache = lex
+    return _builtin_cache
+
+
+# ----------------------------------------------------------- morphology layer
+
+_SIBILANT_END = ("S", "Z", "SH", "CH", "ZH", "JH")
+_VOICELESS_END = ("P", "T", "K", "F", "TH")
+
+
+def inflect_s(base: List[str]) -> List[str]:
+    """Plural / 3rd-person-singular / possessive -s with English voicing."""
+    last = base[-1] if base else ""
+    if last in _SIBILANT_END:
+        return base + ["IH0", "Z"]
+    if last in _VOICELESS_END:
+        return base + ["S"]
+    return base + ["Z"]
+
+
+def inflect_ed(base: List[str]) -> List[str]:
+    """Past tense -ed with English voicing (T/D/IH0-D)."""
+    last = base[-1] if base else ""
+    if last in ("T", "D"):
+        return base + ["IH0", "D"]
+    if last in ("P", "K", "F", "TH", "S", "SH", "CH"):
+        return base + ["T"]
+    return base + ["D"]
+
+
+def _demote_stress(phones: List[str]) -> List[str]:
+    """Primary -> secondary stress (second half of a compound)."""
+    return [p[:-1] + "2" if p and p[-1] == "1" else p for p in phones]
+
+
+# (suffix string, phones appended to the base pronunciation)
+_DERIV_SUFFIXES = [
+    ("ness", ["N", "AH0", "S"]),
+    ("ment", ["M", "AH0", "N", "T"]),
+    ("less", ["L", "AH0", "S"]),
+    ("able", ["AH0", "B", "AH0", "L"]),
+    ("ship", ["SH", "IH2", "P"]),
+    ("hood", ["HH", "UH2", "D"]),
+    ("ful", ["F", "AH0", "L"]),
+    ("ist", ["IH0", "S", "T"]),
+    ("ish", ["IH0", "SH"]),
+    ("ly", ["L", "IY0"]),
+]
+
+# (prefix string, phones prepended to the base pronunciation)
+_PREFIXES = [
+    ("under", ["AH2", "N", "D", "ER0"]),
+    ("over", ["OW2", "V", "ER0"]),
+    ("inter", ["IH2", "N", "T", "ER0"]),
+    ("super", ["S", "UW2", "P", "ER0"]),
+    ("multi", ["M", "AH2", "L", "T", "IY0"]),
+    ("anti", ["AE2", "N", "T", "IY0"]),
+    ("semi", ["S", "EH2", "M", "IY0"]),
+    ("out", ["AW2", "T"]),
+    ("non", ["N", "AA2", "N"]),
+    ("mis", ["M", "IH2", "S"]),
+    ("dis", ["D", "IH0", "S"]),
+    ("pre", ["P", "R", "IY2"]),
+    ("un", ["AH0", "N"]),
+    ("re", ["R", "IY0"]),
+]
+
+
+class _Morphology:
+    """Resolves out-of-lexicon surface forms through the lexicon.
+
+    Mirrors what CMUdict's sheer size gives g2p_en: inflected and derived
+    forms of known stems resolve with lexicon-grade phonology instead of
+    letter-to-sound guessing."""
+
+    def __init__(self, lexicon: Dict[str, List[str]]):
+        self.lexicon = lexicon
+
+    def _base(self, word: str, depth: int) -> Optional[List[str]]:
+        pron = self.lexicon.get(word)
+        if pron is not None:
+            return list(pron)
+        if depth > 0:
+            return self.lookup(word, depth - 1)
+        return None
+
+    def lookup(self, word: str, depth: int = 1) -> Optional[List[str]]:
+        """Pronunciation via morphology, or None (caller falls back to LTS).
+        ``depth`` bounds recursive stem resolution (prefix+suffix combos)."""
+        n = len(word)
+        # --- possessives -------------------------------------------------
+        if word.endswith("'s") or word.endswith("s'"):
+            base = self._base(word[:-2] if word.endswith("'s") else word[:-1],
+                              depth)
+            if base:
+                return inflect_s(base)
+        # --- inflectional -s / -es / -ies --------------------------------
+        if word.endswith("ies") and n > 4:
+            base = self._base(word[:-3] + "y", depth)
+            if base:
+                return inflect_s(base)
+        if word.endswith("es") and n > 3:
+            base = self._base(word[:-2], depth)
+            if base and base[-1] in _SIBILANT_END + ("OW1", "OW2", "OW0"):
+                return inflect_s(base)  # churches, goes
+        if word.endswith("s") and n > 2 and not word.endswith("ss"):
+            base = self._base(word[:-1], depth)
+            if base:
+                return inflect_s(base)
+        # --- inflectional -ed --------------------------------------------
+        if word.endswith("ied") and n > 4:
+            base = self._base(word[:-3] + "y", depth)
+            if base:
+                return inflect_ed(base)
+        if word.endswith("ed") and n > 3:
+            for stem in (word[:-2],          # walked -> walk
+                         word[:-1],          # loved -> love
+                         word[:-3] if n > 4 and word[-3] == word[-4] else None):
+                if stem:                     # stopped -> stop
+                    base = self._base(stem, depth)
+                    if base:
+                        return inflect_ed(base)
+        # --- inflectional -ing -------------------------------------------
+        if word.endswith("ing") and n > 4:
+            for stem in (word[:-3],          # walking -> walk
+                         word[:-3] + "e",    # making -> make
+                         word[:-4] if n > 5 and word[-4] == word[-5] else None):
+                if stem:                     # running -> run
+                    base = self._base(stem, depth)
+                    if base:
+                        return base + ["IH0", "NG"]
+        # --- comparative / superlative / agentive ------------------------
+        for suf, tail in (("iest", ["IY0", "AH0", "S", "T"]),
+                          ("ier", ["IY0", "ER0"])):
+            if word.endswith(suf) and n > len(suf) + 2:
+                base = self._base(word[: -len(suf)] + "y", depth)
+                if base:
+                    if base[-1] in ("IY0", "IY1", "IY2"):
+                        base = base[:-1]
+                    return base + tail
+        for suf, tail in (("est", ["AH0", "S", "T"]), ("er", ["ER0"])):
+            if word.endswith(suf) and n > len(suf) + 2:
+                k = len(suf)
+                for stem in (word[:-k],          # tallest -> tall
+                             word[:-k] + "e",    # larger -> large
+                             word[:-k - 1] if word[-k - 1] == word[-k - 2]
+                             else None):         # runner -> run
+                    if stem:
+                        base = self._base(stem, depth)
+                        if base:
+                            return base + tail
+        # --- derivational suffixes ---------------------------------------
+        if word.endswith("ily") and n > 4:  # happily: happy -> AH0 L IY0
+            base = self._base(word[:-3] + "y", depth)
+            if base:
+                if base[-1] in ("IY0", "IY1", "IY2"):
+                    base = base[:-1]
+                return base + ["AH0", "L", "IY0"]
+        if word.endswith("ably") or word.endswith("ibly"):
+            # believably -> believable, incredibly -> incredible
+            base = self.lookup(word[:-1] + "e", depth) if n > 6 else None
+            if base and base[-1] == "L":
+                return base[:-1] + ["L", "IY0"]
+        if word.endswith("ly") and n > 4:  # gently -> gentle, simply -> simple
+            base = self._base(word[:-2] + "le", depth)
+            if base and base[-1] == "L":
+                return base + ["IY0"]
+        for suf, phones in _DERIV_SUFFIXES:
+            if word.endswith(suf) and n > len(suf) + 2:
+                stem0 = word[: -len(suf)]
+                # hopeful / believable / biologist (e- and y-restoration) /
+                # loneliness (trailing i was a y)
+                stems = (stem0, stem0 + "e", stem0 + "y",
+                         stem0[:-1] + "y" if stem0.endswith("i") else None)
+                for stem in stems:
+                    base = self._base(stem, depth) if stem else None
+                    if base:
+                        if stem and stem.endswith("y") and base[-1] in (
+                                "IY0", "IY1", "IY2") and suf == "ist":
+                            base = base[:-1]  # biology -> biolog(IH0 S T)
+                        return base + phones
+        if word.endswith("y") and n > 3:  # rainy -> rain; bouncy -> bounce
+            base = self._base(word[:-1], depth)
+            if base is None:  # e-restoration: direct lexicon only (a
+                base_e = self.lexicon.get(word[:-1] + "e")  # recursive
+                base = list(base_e) if base_e else None     # lookup invents
+            if base:                                        # compounds)
+                return base + ["IY0"]
+        # --- productive prefixes -----------------------------------------
+        for pre, phones in _PREFIXES:
+            if word.startswith(pre) and n >= len(pre) + 3:
+                base = self._base(word[len(pre):], depth)
+                if base:
+                    return phones + base
+        # --- compound split (firefly = fire + fly, stress demoted) -------
+        for i in range(3, n - 1):
+            if n - i == 2 and word[i:] not in ("by", "up"):
+                continue  # 2-letter right halves: closed set (nearby, …)
+            left, right = self.lexicon.get(word[:i]), self.lexicon.get(word[i:])
+            if left and right:
+                return list(left) + _demote_stress(list(right))
+        return None
+
+
 # ------------------------------------------------------------- homographs
 
 # word -> (pronunciation when VERB, pronunciation otherwise, default_is_verb)
@@ -206,26 +440,49 @@ _HOMOGRAPHS = {
                  ["S", "EH1", "P", "ER0", "IH0", "T"], False),
 }
 
+# POS-lite context tagger (VERDICT r2 #6): rule/suffix cues stand in for the
+# reference's nltk pos_tag (reference: data_utils/text_processor.py:95-102).
 # Preceding-word cues: infinitives/modals/pronoun subjects -> verb reading;
 # determiners/possessives/prepositions -> noun/adjective reading.
 _VERB_CUES = frozenset(
     "to will would shall can could may might must do does did dont doesnt "
-    "didnt wont cannot not i you we they please lets".split()
+    "didnt wont cannot not i you we they please lets who and then".split()
 )
 _NOUN_CUES = frozenset(
     "the a an this that these those my your his her its our their some any "
-    "no each every another one of in on at with for by".split()
+    "no each every another one of in on at with for by was is are were been "
+    "more most very quite such".split()
+)
+# Following-word cues: a homograph directly governing an object/determiner is
+# being used as a verb ("record the show"); trailing adjectives/adverbs and
+# sentence breaks lean noun.
+_OBJECT_CUES = frozenset(
+    "the a an my your his her its our their this that these those me him "
+    "them us it something anything everything someone anyone".split()
 )
 
 
-def _homograph_is_verb(prev_word: Optional[str], default: bool) -> bool:
-    if prev_word is not None:
-        w = prev_word.lower().replace("'", "")
-        if w in _VERB_CUES:
+def pos_lite(words: Sequence[str], i: int, default_is_verb: bool) -> bool:
+    """True when words[i] reads as a VERB in its local context.
+
+    A deliberately small decision list: previous-word cue (modal/infinitive
+    vs determiner/possessive), next-word object cue, adverb (-ly) before the
+    word, and imperative sentence position.  Golden-tested per homograph in
+    tests/test_g2p_golden.py."""
+    prev = words[i - 1].lower().replace("'", "") if i > 0 else None
+    nxt = words[i + 1].lower() if i + 1 < len(words) else None
+    if prev is not None:
+        if prev in _VERB_CUES:
             return True
-        if w in _NOUN_CUES:
+        if prev in _NOUN_CUES:
             return False
-    return default
+        if prev.endswith("ly") and prev not in ("only", "early", "family"):
+            return True  # adverb directly before -> verb ("slowly close it")
+    if nxt is not None and nxt in _OBJECT_CUES:
+        return True  # governs an object -> verb
+    if prev is None and nxt is not None and not nxt in (".", ",", "!", "?"):
+        return True  # sentence-initial imperative ("Close the door")
+    return default_is_verb
 
 
 # -------------------------------------------------- rule-based letter-to-sound
@@ -320,11 +577,9 @@ def rule_g2p(word: str) -> List[str]:
     if word.endswith("es") and len(word) > 4:
         return _fix_stress(rule_g2p(word[:-2]) + ["IH0", "Z"])
     if word.endswith("ed") and len(word) > 4:
-        return _fix_stress(rule_g2p(word[:-2]) + ["D"])
+        return _fix_stress(inflect_ed(rule_g2p(word[:-2])))
     if word.endswith("s") and len(word) > 3 and word[-2] not in "sue":
-        base = rule_g2p(word[:-1])
-        voiced_end = not base or base[-1] not in ("P", "T", "K", "F", "TH")
-        return _fix_stress(base + (["Z"] if voiced_end else ["S"]))
+        return _fix_stress(inflect_s(rule_g2p(word[:-1])))
     # Magic-e: CVCe -> long vowel, silent e.
     if (
         len(word) >= 3
@@ -400,18 +655,23 @@ class EnG2p:
     (interface of reference: data_utils/text_processor.py:73-114)."""
 
     def __init__(self, cmudict_path: Optional[str] = None):
-        self.lexicon = _parse_seed()
+        self.lexicon = dict(_builtin_lexicon())
         if cmudict_path:
             self.load_cmudict(cmudict_path)
-        # coverage counters: lexicon/homograph hits vs rule-LTS fallbacks
+        self.morph = _Morphology(self.lexicon)
+        # coverage counters: lexicon/morphology hits vs rule-LTS fallbacks
         self.n_lexicon = 0
+        self.n_morph = 0
         self.n_fallback = 0
         self.oov_words: Dict[str, int] = {}
 
     def load_cmudict(self, path: str) -> int:
         """Load a CMU-dict-format lexicon (``WORD  PH PH``; ;;; comments).
-        Returns number of entries loaded; primary pronunciations win."""
+        Returns number of entries loaded.  Entries override the bundled
+        lexicon (a real CMUdict is ground truth); within the file the first
+        (primary) pronunciation wins."""
         n = 0
+        seen = set()
         with open(path, encoding="latin-1") as f:
             for line in f:
                 if line.startswith(";;;") or not line.strip():
@@ -421,8 +681,10 @@ class EnG2p:
                 if word.endswith(")"):  # alternate pronunciation WORD(2)
                     continue
                 word = re.sub(r"\(\d+\)$", "", word)
-                self.lexicon.setdefault(word, parts[1:])
-                n += 1
+                if word not in seen:
+                    seen.add(word)
+                    self.lexicon[word] = parts[1:]
+                    n += 1
         return n
 
     def predict(self, word: str) -> List[str]:
@@ -430,8 +692,9 @@ class EnG2p:
 
     @property
     def oov_rate(self) -> float:
-        """Fraction of word tokens handled by the rule-LTS fallback."""
-        total = self.n_lexicon + self.n_fallback
+        """Fraction of word tokens handled by the rule-LTS fallback (the
+        morphology layer counts as covered — it is lexicon-derived)."""
+        total = self.n_lexicon + self.n_morph + self.n_fallback
         return self.n_fallback / total if total else 0.0
 
     def __call__(self, text: str) -> List[str]:
@@ -443,18 +706,21 @@ class EnG2p:
                 pron = [word]  # punctuation/number token passes through
             elif lower in _HOMOGRAPHS:
                 verb_pron, other_pron, default = _HOMOGRAPHS[lower]
-                prev = words[i - 1] if i > 0 else None
                 pron = list(
-                    verb_pron if _homograph_is_verb(prev, default) else other_pron
+                    verb_pron if pos_lite(words, i, default) else other_pron
                 )
                 self.n_lexicon += 1
             elif lower in self.lexicon:
                 pron = list(self.lexicon[lower])
                 self.n_lexicon += 1
             else:
-                pron = self.predict(lower)
-                self.n_fallback += 1
-                self.oov_words[lower] = self.oov_words.get(lower, 0) + 1
+                pron = self.morph.lookup(lower)
+                if pron is not None:
+                    self.n_morph += 1
+                else:
+                    pron = self.predict(lower)
+                    self.n_fallback += 1
+                    self.oov_words[lower] = self.oov_words.get(lower, 0) + 1
             prons.extend(pron)
             prons.append(" ")
         return prons[:-1] if prons else []

@@ -61,7 +61,9 @@ def test_normalize_golden(raw, want):
         ),
         (
             "it costs $2",
-            "<BOS> IH1 T | K AA1 S T S | T UW1 | D AA1 L ER0 Z <EOS>",
+            # "costs" resolves through the lexicon + voicing morphology now
+            # (was the rule-LTS guess K AA1 S T S before the bundled lexicon)
+            "<BOS> IH1 T | K AO1 S T S | T UW1 | D AA1 L ER0 Z <EOS>",
         ),
     ],
 )
@@ -139,6 +141,125 @@ def test_oov_rate_on_synthetic_corpus():
     assert total > 0
     print(f"synthetic-corpus OOV rate: {g2p.oov_rate:.3f} ({g2p.oov_words})")
     assert g2p.oov_rate < 0.25, f"OOV {g2p.oov_rate}: {g2p.oov_words}"
+
+
+def test_bundled_lexicon_scale():
+    """The bundled lexicon_en.txt is dictionary-scale (thousands of base
+    entries; VERDICT r2 #4) and the engine loads it by default."""
+    g2p = EnG2p()
+    assert len(g2p.lexicon) >= 3000, len(g2p.lexicon)
+
+
+@pytest.mark.parametrize(
+    "word,want",
+    [
+        # voicing-aware inflections through the morphology layer
+        ("walked", "W AO1 K T"),            # voiceless -> T
+        ("loved", "L AH1 V D"),             # voiced -> D
+        ("wanted", "W AA1 N T IH0 D"),      # t/d -> IH0 D
+        ("cats", "K AE1 T S"),              # voiceless -> S
+        ("dogs", "D AO1 G Z"),              # voiced -> Z
+        ("churches", "CH ER1 CH IH0 Z"),    # sibilant -> IH0 Z
+        ("cities", "S IH1 T IY0 Z"),        # -ies -> y + Z
+        ("carried", "K AE1 R IY0 D"),       # -ied -> y + D
+        ("running", "R AH1 N IH0 NG"),      # doubled consonant stem
+        ("making", "M EY1 K IH0 NG"),       # e-drop stem
+        ("stopped", "S T AA1 P T"),         # doubled + voiceless
+        ("teacher's", "T IY1 CH ER0 Z"),    # possessive
+        ("larger", "L AA1 R JH ER0"),       # comparative w/ e-drop
+        ("tallest", "T AO1 L AH0 S T"),     # superlative
+        ("happier", "HH AE1 P IY0 ER0"),    # -ier
+        ("happily", "HH AE1 P AH0 L IY0"),  # -ily
+        ("coldness", "K OW1 L D N AH0 S"),
+        ("hopeful", "HH OW1 P F AH0 L"),
+        ("believable", "B IH0 L IY1 V AH0 B AH0 L"),  # e-restored -able
+        ("rainy", "R EY1 N IY0"),
+        ("unhappy", "AH0 N HH AE1 P IY0"),  # prefix
+        ("repaint", "R IY0 P EY1 N T"),
+        ("overcook", "OW2 V ER0 K UH1 K"),
+        ("bedtime", "B EH1 D T AY2 M"),     # compound, stress demoted
+        ("nearby", "N IH1 R B AY2"),        # short right half
+        ("moonlight", "M UW1 N L AY2 T"),
+    ],
+)
+def test_morphology_golden(word, want):
+    g2p = EnG2p()
+    assert word not in g2p.lexicon, f"{word} should exercise morphology"
+    got = g2p.morph.lookup(word)
+    assert got is not None and " ".join(got) == want, f"{word}: {got}"
+
+
+@pytest.mark.parametrize(
+    "text,word_phones",
+    [
+        # POS-lite next-word object cue: homograph governing a determiner
+        ("record the show", "R IH0 K AO1 R D"),
+        ("present the award", "P R IH0 Z EH1 N T"),
+        # adverb (-ly) directly before -> verb
+        ("slowly close it now", "K L OW1 Z"),
+        # remaining homographs, both readings
+        ("they produce cars", "P R AH0 D UW1 S"),
+        ("the produce aisle", "P R OW1 D UW0 S"),
+        ("will permit entry", "P ER0 M IH1 T"),
+        ("a permit office", "P ER1 M IH0 T"),
+        ("they conduct business", "K AH0 N D AH1 K T"),
+        ("his conduct was poor", "K AA1 N D AH0 K T"),
+        ("to contract the disease", "K AH0 N T R AE1 K T"),
+        ("the contract terms", "K AA1 N T R AE0 K T"),
+        ("to increase the speed", "IH0 N K R IY1 S"),
+        ("an increase in speed", "IH1 N K R IY2 S"),
+        ("they rebel against it", "R IH0 B EH1 L"),
+        ("the rebel army", "R EH1 B AH0 L"),
+        ("i refuse to go", "R IH0 F Y UW1 Z"),
+        ("the refuse pile", "R EH1 F Y UW2 Z"),
+        ("they suspect him", "S AH0 S P EH1 K T"),
+        ("the suspect fled", "S AH1 S P EH2 K T"),
+        ("to wind the clock", "W AY1 N D"),
+        ("the wound was deep", "W UW1 N D"),
+        ("to tear the paper", "T EH1 R"),
+        ("a tear fell down", "T IH1 R"),
+        ("they object loudly", "AH0 B JH EH1 K T"),
+        ("an object appeared", "AA1 B JH EH0 K T"),
+        ("to address the crowd", "AH0 D R EH1 S"),
+        ("my address changed", "AE1 D R EH2 S"),
+        ("to separate the groups", "S EH1 P ER0 EY2 T"),
+        ("a separate issue", "S EH1 P ER0 IH0 T"),
+        ("to estimate the cost", "EH1 S T AH0 M EY2 T"),
+        ("an estimate of cost", "EH1 S T AH0 M AH0 T"),
+        ("they protest the law", "P R AH0 T EH1 S T"),
+        ("the protest march", "P R OW1 T EH2 S T"),
+        ("the desert sand", "D EH1 Z ER0 T"),
+        ("to desert the army", "D IH0 Z ER1 T"),
+    ],
+)
+def test_homograph_pos_lite(text, word_phones):
+    """POS-lite homograph goldens across the table (VERDICT r2 #6)."""
+    g2p = EnG2p()
+    stream = " ".join(g2p(text))
+    assert word_phones in stream, f"{text!r} -> {stream!r}"
+
+
+def test_oov_rate_on_tts_corpus():
+    """Dictionary-scale coverage: on a 400-sentence hand-authored corpus of
+    representative TTS text (narration, dialogue, style prompts), the
+    rule-LTS fallback handles <5% of word tokens (VERDICT r2 #4 target)."""
+    g2p = EnG2p()
+    n_sent = 0
+    with open("tests/data/tts_corpus.txt") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            n_sent += 1
+            g2p(preprocess_text(line))
+    assert n_sent >= 400
+    total = g2p.n_lexicon + g2p.n_morph + g2p.n_fallback
+    assert total > 3000
+    print(f"tts-corpus OOV rate: {g2p.oov_rate:.4f} "
+          f"(lex {g2p.n_lexicon} morph {g2p.n_morph} fb {g2p.n_fallback})")
+    assert g2p.oov_rate < 0.05, (
+        f"OOV {g2p.oov_rate:.4f}: {sorted(g2p.oov_words)[:50]}"
+    )
 
 
 def test_lexicon_entries_in_vocab():
