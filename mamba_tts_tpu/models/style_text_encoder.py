@@ -76,7 +76,28 @@ class BertEncoder(nn.Module):
 
 def convert_torch_bert_state_dict(state_dict: Dict[str, Any], cfg: StyleEncoderConfig):
     """Map a HF PyTorch ``bert-base-uncased`` state dict to this module's
-    parameter tree (transposing Dense kernels)."""
+    parameter tree (transposing Dense kernels).
+
+    Accepts BOTH released naming conventions (pinned by
+    ``tests/data/bert_base_uncased_manifest.json``):
+
+    - ``BertModel.from_pretrained(...).state_dict()``: stripped prefix,
+      ``LayerNorm.weight/bias`` (what the reference passes; reference:
+      smsd.py:39-45);
+    - the raw ``pytorch_model.bin`` (2018 TF conversion): ``bert.`` prefix
+      and historical ``LayerNorm.gamma/beta`` names; the ``cls.*`` MLM/NSP
+      heads and ``pooler`` are ignored by design.
+    """
+    norm: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        if k.startswith("cls."):
+            continue  # pretraining heads, not part of the encoder
+        if k.startswith("bert."):
+            k = k[len("bert."):]
+        k = k.replace("LayerNorm.gamma", "LayerNorm.weight")
+        k = k.replace("LayerNorm.beta", "LayerNorm.bias")
+        norm[k] = v
+    state_dict = norm
 
     def g(name):
         t = state_dict[name]
