@@ -158,6 +158,46 @@ def test_encode_voice_trims_prompt_padding():
     assert (codec_long[0, :true_frames] != cfg.decoder.pad_id).all()
 
 
+def test_synthesize_batch_variable_length(monkeypatch):
+    """variable_length=True groups utterances by their OWN 64-frame duration
+    bucket: each group decodes at its own budget and every waveform is
+    trimmed to its predicted frames — a short utterance no longer pays the
+    batch-max bucket (VERDICT r2 #7)."""
+    from mamba_tts_tpu.infer.synthesize import Synthesizer, load_synthesizer
+
+    cfg = cl.from_json(open("tests/smoke_config.json").read())
+    synth = load_synthesizer(cfg)
+    sr = cfg.codec.sample_rate
+    t = np.arange(3200) / sr
+    voice = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    # deterministic per-utterance budgets: one short, one long
+    monkeypatch.setattr(
+        synth, "predict_frames_per_utterance",
+        lambda ids, mask: np.array([8, 100], np.int64),
+    )
+    decoded_budgets = []
+    orig = Synthesizer._decode_rows
+
+    def spy(self, arrays, frames, temperature, rng):
+        decoded_budgets.append((int(arrays[0].shape[0]), frames))
+        return orig(self, arrays, frames, temperature, rng)
+
+    monkeypatch.setattr(Synthesizer, "_decode_rows", spy)
+
+    wavs, info = synth.synthesize_batch(
+        ["hi", "a much longer sentence to speak"],
+        ["calm", "fast"], [voice, voice], variable_length=True,
+    )
+    assert decoded_budgets == [(1, 64), (1, 128)]  # per-bucket groups
+    assert info["frames"] == [8, 100] and info["buckets"] == [64, 128]
+    hop = synth.tokenizer.hop
+    assert len(wavs[0]) == 8 * hop and len(wavs[1]) == 100 * hop
+    # token accounting covers both groups at their own budgets
+    Q = cfg.decoder.num_quantizers
+    assert info["tokens"] == Q * 64 + Q * 128
+
+
 def test_run_chunked():
     """Batch chunking splits rows into <=chunk calls with per-chunk rng keys
     and concatenates; monolithic when chunk is None or B <= chunk."""
