@@ -415,24 +415,25 @@ def main():
     have_headline = isinstance(
         extras.get("megakernel_tokens_per_sec_b1"), (int, float)
     )
-    if not have_headline:
-        extras.setdefault("megakernel_tokens_per_sec_b1", "error: timeout")
+    for k in ("megakernel_tokens_per_sec_b1", "megakernel_tokens_per_sec_b8",
+              "megakernel_tokens_per_sec_b2"):
+        extras.setdefault(k, "error: timeout")
 
     # 2. Step-scan child: bf16_b1 first (headline fallback), then extras.
     jobs = ["bf16_b1", "int8_b8", "bf16_b8", "int8_b1"]
+    job_keys = {"bf16_b1": "bf16_tokens_per_sec_b1",
+                "int8_b1": "int8_tokens_per_sec_b1",
+                "int8_b8": "int8_tokens_per_sec_b8",
+                "bf16_b8": "batched_tokens_per_sec_b8"}
     reserve = 150.0 if have_headline else 90.0
     if remaining() > reserve + 60:
         t = max(60.0, remaining() - reserve)
         absorb(_run_child([py, me, "--stepscan-child", *jobs], t, "scan"))
+        for j in jobs:
+            extras.setdefault(job_keys[j], "error: timeout")
     else:
         for j in jobs:
-            extras.setdefault(
-                {"bf16_b1": "bf16_tokens_per_sec_b1",
-                 "int8_b1": "int8_tokens_per_sec_b1",
-                 "int8_b8": "int8_tokens_per_sec_b8",
-                 "bf16_b8": "batched_tokens_per_sec_b8"}[j],
-                "skipped: budget",
-            )
+            extras.setdefault(job_keys[j], "skipped: budget")
 
     # 3. Training throughput (VERDICT r2 #8): small-shape train step so the
     #    compile fits the tail budget; reports ms/step + train tokens/s.

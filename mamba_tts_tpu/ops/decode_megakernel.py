@@ -632,6 +632,23 @@ def megakernel_greedy_decode(
     while total % unroll_steps:  # largest feasible unroll <= requested
         unroll_steps -= 1
 
+    # Callers close weights + conditioning over an outer jit (serving bakes
+    # them per checkpoint), which makes every input here a compile-time
+    # constant — and XLA then CONSTANT-FOLDS project_memories + the whole
+    # quantized plan on the compiler host: tens of GFLOPs of K/V projections
+    # that scale with batch (measured: B=1 compile 80 s, B=8 >10 min).  The
+    # megakernel's VMEM residency comes from its constant-index BlockSpecs,
+    # not from folded constants, so breaking the fold costs ~nothing at run
+    # time (plan construction is a few ms of on-device work per call).
+    barrier = [variables, qparams, text_hidden, z_style]
+    barrier += [x for x in (text_mask, ref_hidden, ref_mask) if x is not None]
+    barrier = list(jax.lax.optimization_barrier(tuple(barrier)))
+    variables, qparams, text_hidden, z_style = barrier[:4]
+    it = iter(barrier[4:])
+    text_mask = next(it) if text_mask is not None else None
+    ref_hidden = next(it) if ref_hidden is not None else None
+    ref_mask = next(it) if ref_mask is not None else None
+
     KV, memory_mask, films = decoder.apply(
         variables, text_hidden, text_mask, ref_hidden, ref_mask, z_style,
         method=MambaTTSDecoder.project_memories,
