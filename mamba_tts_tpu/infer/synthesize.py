@@ -60,17 +60,18 @@ def _run_chunked(run, arrays, rng, chunk):
     return jnp.concatenate(outs, axis=0)
 
 
-def _megakernel_dtypes(batch: int):
-    """(weight_dtype, kv_dtype) fitting VMEM at flagship scale, or None to
-    fall back to the step scan.  Measured v5e aggregate tok/s: B=1 29k,
-    B=2 52k (bf16/bf16); B=4 79.7k (int8 weights); B=8 99.9k (int8/int8)."""
-    if batch <= 2:
-        return ("bfloat16", "bfloat16")
-    if batch <= 4:
-        return ("int8", "bfloat16")
-    if batch <= 8:
-        return ("int8", "int8")
-    return None
+def _megakernel_dtypes(cfg, batch: int, memory_len: int, sampled: bool = False):
+    """(weight_dtype, kv_dtype) whose VMEM residency fits at this batch and
+    cross-attention memory length, or None to fall back to the step scan.
+
+    Delegates to ops.decode_megakernel.megakernel_fit — the fit is computed
+    from the actual plan shapes, so short voice prompts admit larger
+    batches than the flagship 3 s prompt (where the measured ladder is
+    B<=2 bf16/bf16 52k tok/s, B<=4 int8 weights 79.7k, B<=8 int8 K/V
+    114.7k aggregate on v5e)."""
+    from mamba_tts_tpu.ops.decode_megakernel import megakernel_fit
+
+    return megakernel_fit(cfg, batch, memory_len, sampled=sampled)
 
 
 class Synthesizer:
@@ -84,6 +85,7 @@ class Synthesizer:
         frontend: Optional[PhonemeFrontend] = None,
         style_encoder: Optional[StyleTextEncoder] = None,
         quant: str = "none",
+        mesh=None,
     ):
         """``quant`` selects the decode-scan numerics: "none" (bf16 weights,
         precision-exact with training), "int8" (weight-streaming int8 matvecs
@@ -91,14 +93,28 @@ class Synthesizer:
         cross-attention K/V — the dominant traffic term of batched decode), or
         "megakernel" (ops/decode_megakernel.py: the whole decode as ONE
         pallas_call with VMEM-resident weights — the fastest serving path;
-        handles greedy AND Gumbel-max sampled decodes at B<=8 with per-batch
-        residency dtypes (_megakernel_dtypes); only B>8 falls back to the
-        int8 step scan)."""
+        handles greedy AND Gumbel-max sampled decodes with residency dtypes
+        chosen per (batch, memory length) by the VMEM fit planner
+        (ops.decode_megakernel.megakernel_fit — B<=8 at the flagship 3 s
+        prompt, larger at shorter prompts); batches past the fit fall back
+        to the int8 step scan).
+
+        ``mesh`` (a jax.sharding.Mesh with a "data" axis) turns on SPMD
+        batch-parallel serving: ``synthesize_batch`` shards utterance rows
+        over the mesh with ``jax.shard_map`` — each chip runs its own full
+        decode (megakernel included; a Pallas call per shard) on its rows,
+        with the weights replicated.  Aggregate throughput scales with the
+        data axis because decode has NO cross-row communication; single-
+        utterance ``synthesize`` stays on one chip.  Sampled (temperature
+        > 0) decodes and style draws fold a per-shard rng — distribution-
+        identical to the unsharded path but a different stream, the same
+        contract as ``_run_chunked``'s per-chunk key splits."""
         if quant not in ("none", "int8", "int8_kv", "megakernel"):
             raise ValueError(
                 f"quant must be none|int8|int8_kv|megakernel, got {quant!r}")
         self.cfg = cfg
         self.quant = quant
+        self.mesh = mesh
         self.model = MambaTTS(cfg)
         from mamba_tts_tpu.models.decoder import MambaTTSDecoder
 
@@ -135,8 +151,9 @@ class Synthesizer:
 
     # ------------------------------------------------------------- pipeline
 
-    def _decode_fn(self, frames_per_stream: int, temperature: float):
-        key = (frames_per_stream, temperature)
+    def _decode_fn(self, frames_per_stream: int, temperature: float,
+                   sharded: bool = False):
+        key = (frames_per_stream, temperature, sharded)
         if key not in self._decode_cache:
             model, decoder = self.model, self.decoder
             params_const = self.params
@@ -146,14 +163,17 @@ class Synthesizer:
             # arguments: weights are fixed at serving time, and baking them
             # lets XLA pre-format/prefetch them — measured +40% decode
             # throughput on v5e vs params-as-arguments.
-            @jax.jit
-            def run(phoneme_ids, text_mask, style_bert, voice_codec, rng):
+            def body(phoneme_ids, text_mask, style_bert, voice_codec, rng):
                 params = params_const
                 mvars = {"params": params}
                 text_hidden = model.apply(mvars, phoneme_ids, text_mask, method=MambaTTS.encode_text)
                 z_style = model.apply(mvars, style_bert, rng, method=MambaTTS.sample_style)
                 ref_hidden, ref_mask = model.apply(mvars, voice_codec, method=MambaTTS.embed_voice)
-                mega_dtypes = _megakernel_dtypes(phoneme_ids.shape[0])
+                mega_dtypes = _megakernel_dtypes(
+                    decoder.cfg, phoneme_ids.shape[0],
+                    ref_hidden.shape[1] + text_hidden.shape[1],
+                    sampled=temperature > 0,
+                )
                 if quant == "megakernel" and mega_dtypes is not None:
                     # whole-decode Pallas kernel; weight/KV residency dtypes
                     # picked per batch so the plan fits VMEM.  Greedy and
@@ -210,6 +230,36 @@ class Synthesizer:
                         rng=rng,
                     )
                 return res.tokens
+
+            if sharded:
+                # SPMD batch-parallel decode: rows shard over the mesh's
+                # "data" axis; each shard traces `body` at its LOCAL batch
+                # (so the megakernel VMEM fit sees per-chip rows) and runs
+                # its own Pallas calls.  Weights are closed over =>
+                # replicated.  No collectives: decode is row-independent
+                # (check_vma can't see that through the Pallas call).
+                from jax.sharding import PartitionSpec as P
+
+                mesh = self.mesh
+                bspec = P("data")
+
+                def shard_body(phoneme_ids, text_mask, style_bert,
+                               voice_codec, rng):
+                    rng = jax.random.fold_in(
+                        rng, jax.lax.axis_index("data")
+                    )
+                    return body(phoneme_ids, text_mask, style_bert,
+                                voice_codec, rng)
+
+                run = jax.jit(jax.shard_map(
+                    shard_body,
+                    mesh=mesh,
+                    in_specs=(bspec, bspec, bspec, bspec, P()),
+                    out_specs=bspec,
+                    check_vma=False,
+                ))
+            else:
+                run = jax.jit(body)
 
             self._decode_cache[key] = run
         return self._decode_cache[key]
@@ -290,15 +340,42 @@ class Synthesizer:
 
     def _decode_rows(self, arrays, frames: int, temperature: float, rng):
         """Decode rows at one frame budget; returns (B, Q*frames) tokens."""
-        run = self._decode_fn(frames, temperature)
-        return np.asarray(
-            jax.device_get(
-                _run_chunked(
-                    run, arrays, rng,
-                    chunk=8 if self.quant == "megakernel" else None,
-                )
+        B = arrays[0].shape[0]
+        n_shards = 1
+        sharded = self.mesh is not None and B > 1
+        if sharded:
+            n_shards = int(self.mesh.shape["data"])
+        run = self._decode_fn(frames, temperature, sharded=sharded)
+        chunk = None
+        if self.quant == "megakernel":
+            # Chunk so each megakernel call fits VMEM at THIS memory length
+            # (voice-codec tokens + text tokens): short prompts admit larger
+            # chunks (e.g. 16+ at a 64-frame prompt bucket) than the 3 s
+            # flagship prompt (8).  0 -> monolithic; run() then falls back
+            # to the step scan via the same fit check.  Under a mesh the fit
+            # applies PER SHARD, so the host-level chunk scales with the
+            # data axis.
+            from mamba_tts_tpu.ops.decode_megakernel import megakernel_max_batch
+
+            Q = self.cfg.decoder.num_quantizers
+            memory_len = arrays[3].shape[1] * Q + arrays[0].shape[1]
+            per_shard = megakernel_max_batch(
+                self.cfg.decoder, memory_len, sampled=temperature > 0
             )
-        )
+            chunk = per_shard * n_shards or None
+        if sharded:
+            # shard_map needs row counts divisible by the data axis: pad by
+            # repeating the last row (decode is row-independent), trim
+            # after.  chunk is already a multiple of n_shards, so every
+            # chunk _run_chunked cuts — including the remainder — divides.
+            Bp = -(-B // n_shards) * n_shards
+            if Bp != B:
+                reps = [jnp.broadcast_to(a[-1:], (Bp - B,) + a.shape[1:])
+                        for a in arrays]
+                arrays = [jnp.concatenate([a, r], axis=0)
+                          for a, r in zip(arrays, reps)]
+        out = _run_chunked(run, arrays, rng, chunk=chunk)
+        return np.asarray(jax.device_get(out))[:B]
 
     def synthesize_batch(
         self,
@@ -395,7 +472,7 @@ class Synthesizer:
 
 def load_synthesizer(
     cfg: Optional[TTSConfig] = None, checkpoint_dir: Optional[str] = None, seed: int = 0,
-    codec_ckpts=None, quant: str = "none",
+    codec_ckpts=None, quant: str = "none", mesh=None,
 ) -> Synthesizer:
     """Build a Synthesizer from a checkpoint (or fresh init).  When ``cfg``
     is None and the checkpoint dir has a ``config.json`` (written by the
@@ -431,7 +508,7 @@ def load_synthesizer(
         tokenizer = FACodecTokenizer(
             cfg.codec, torch_encoder_ckpt=codec_ckpts[0], torch_decoder_ckpt=codec_ckpts[1]
         )
-    return Synthesizer(cfg, params, tokenizer=tokenizer, quant=quant)
+    return Synthesizer(cfg, params, tokenizer=tokenizer, quant=quant, mesh=mesh)
 
 
 def main(argv=None):

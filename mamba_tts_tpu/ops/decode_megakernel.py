@@ -266,6 +266,135 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
     return plan
 
 
+# v5e VMEM per core; _megakernel_call passes this as vmem_limit_bytes.
+TPU_VMEM_BYTES = 128 * 1024 * 1024
+# Head-room for Mosaic temporaries (per-step activation rows, matmul
+# accumulators, relayout buffers).  128 MiB - 5 MiB reproduces every
+# measured fit boundary at the flagship shape: B=2 bf16/bf16 (110 MB) fits,
+# B=3 bf16 (131 MB) does not; B=8 int8/int8 (122 MB) fits and runs at
+# 114.7k tok/s, B=9 (132 MB) does not compile.
+_VMEM_MARGIN_BYTES = 5 * 1024 * 1024
+
+
+def plan_resident_bytes(
+    cfg: DecoderConfig,
+    batch: int,
+    memory_len: int,
+    weight_dtype: str = "bfloat16",
+    kv_dtype: str = "bfloat16",
+    unroll_steps: int = 1,
+    sampled: bool = False,
+    teacher_force: bool = False,
+) -> int:
+    """VMEM bytes the megakernel keeps resident across grid steps.
+
+    Shape-level mirror of ``_build_plan`` + ``_megakernel_call``: the
+    constant-index operands (weights, K/V, scales), the double-buffered
+    streamed blocks (pos/quant embedding row, logits out, optional gumbel /
+    teacher-forcing rows), and the persistent scratch (one-hots, conv and
+    SSM state).  ``memory_len`` is the unpadded cross-attention memory
+    length (ref tokens + text tokens); K/V pad it to a lane multiple.
+    Exactness is pinned against real plan ``nbytes`` by
+    tests/test_decode_megakernel.py.
+    """
+    c = cfg
+    m = c.with_mamba_dims().mamba
+    L, d, di, N = c.n_layers, c.d_model, m.d_inner, m.d_state
+    r, dc, H, dff = m.dt_rank_actual, m.d_conv, c.n_heads, c.d_ff
+    B, U = batch, unroll_steps
+    Vpad = _round_up(c.vocab_size_audio, 128)
+    Tmp = _round_up(memory_len, 128)
+    wb = 1 if weight_dtype == "int8" else 2
+    kb = 1 if kv_dtype == "int8" else 2
+
+    n = Vpad * d * 2                           # token_embed
+    n += L * 6 * d * 4                         # norms
+    n += L * d * 2 * di * wb + L * 2 * di * 4  # in_w, in_s
+    n += L * dc * di * 2 + L * di * 4          # conv_w, conv_b
+    n += L * di * r * 2 + 2 * L * di * N * 2   # xp_dt, xp_B, xp_C
+    n += L * r * di * 2 + L * di * 4           # dt_w, dt_b
+    n += L * N * di * 4 + L * di * 4           # A, D
+    n += L * di * d * wb + L * d * 4           # out_w, out_s
+    n += L * d * d * wb + 2 * L * d * 4        # q_w, q_s, q_b
+    n += H * d * 2                             # headmask
+    n += 2 * L * B * d * Tmp * kb              # K, V
+    n += 2 * L * B * d * 4                     # k_scale, v_scale
+    n += B * Tmp * 4                           # mask_row
+    n += L * d * d * wb + 2 * L * d * 4        # o_w, o_s, o_b
+    n += 2 * L * B * d * 4                     # gamma, beta
+    n += L * d * dff * wb + 2 * L * dff * 4    # ff1_w, ff1_s, ff1_b
+    n += L * dff * d * wb + 2 * L * d * 4      # ff2_w, ff2_s, ff2_b
+    n += 2 * d * 4                             # norm_out
+    n += d * Vpad * 2 + Vpad * 4               # head_w, head_b
+
+    # streamed blocks: Pallas double-buffers non-constant index maps
+    n += 2 * (U * 1 * d * 2)                   # emb_pq row
+    n += 2 * (U * B * Vpad * 4)                # logits out
+    if sampled:
+        n += 2 * (U * B * Vpad * 4)            # gumbel rows
+    if teacher_force:
+        n += 2 * (U * B * Vpad * 2)            # forced one-hot rows
+
+    # persistent scratch
+    n += B * Vpad * 2                          # one-hot last tokens
+    n += L * (dc - 1) * B * di * 2             # conv state
+    n += L * B * N * di * 4                    # SSM state
+    return n
+
+
+# residency ladder, fastest first: bf16 weights skip the per-use int8
+# convert (~25% of step time); int8 K/V folds scales into the query /
+# attention-output rows, adding only rounding noise (parity-tested).
+_DTYPE_LADDER = (
+    ("bfloat16", "bfloat16"),
+    ("int8", "bfloat16"),
+    ("int8", "int8"),
+)
+
+
+def megakernel_fit(
+    cfg: DecoderConfig,
+    batch: int,
+    memory_len: int,
+    unroll_steps: int = 1,
+    sampled: bool = False,
+    budget_bytes: Optional[int] = None,
+) -> Optional[tuple]:
+    """Fastest (weight_dtype, kv_dtype) whose residency fits VMEM, else None.
+
+    Replaces the fixed B<=8 serving table: the fit is a function of batch
+    AND memory length, so short voice prompts admit larger megakernel
+    batches (e.g. B=16 at a 64-frame prompt bucket) while the flagship 3 s
+    prompt reproduces the measured ladder (bf16<=2, int8 weights<=4,
+    int8 K/V<=8).
+    """
+    budget = (TPU_VMEM_BYTES - _VMEM_MARGIN_BYTES
+              if budget_bytes is None else budget_bytes)
+    for wd, kvd in _DTYPE_LADDER:
+        if plan_resident_bytes(cfg, batch, memory_len, wd, kvd,
+                               unroll_steps, sampled) <= budget:
+            return (wd, kvd)
+    return None
+
+
+def megakernel_max_batch(
+    cfg: DecoderConfig,
+    memory_len: int,
+    unroll_steps: int = 1,
+    sampled: bool = False,
+    cap: int = 64,
+) -> int:
+    """Largest batch the megakernel can serve at ``memory_len`` (0 if none).
+
+    Serving chunks big batches by this (infer.synthesize._run_chunked)."""
+    b = 0
+    while b < cap and megakernel_fit(
+        cfg, b + 1, memory_len, unroll_steps, sampled
+    ) is not None:
+        b += 1
+    return b
+
+
 def _ln(x, scale, bias, eps=1e-6):
     """f32 LayerNorm over lanes; mirrors quant_decode._layer_norm."""
     xf = x.astype(jnp.float32)

@@ -236,3 +236,67 @@ def test_batched_matches_per_sequence_runs():
         got = np.asarray(res2.logits[row], np.float32)[:, sp:]
         want = np.asarray(outs[row].logits[0], np.float32)[:, sp:]
         assert np.abs(got - want).max() / np.abs(want).max() < 1e-2
+
+
+def test_plan_resident_bytes_matches_real_plan():
+    """The VMEM fit planner's shape arithmetic is pinned against the ACTUAL
+    plan arrays _build_plan constructs: const-operand bytes must match
+    sum(nbytes) exactly for every dtype rung, so planner drift from kernel
+    changes fails here instead of mis-sizing serving batches."""
+    from mamba_tts_tpu.ops.decode_megakernel import (
+        _build_plan,
+        _round_up,
+        plan_resident_bytes,
+    )
+
+    cfg = _tiny()
+    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg)
+    KV, memory_mask, films = dec.apply(
+        variables, th, tm, rh, rm, z, method=MambaTTSDecoder.project_memories
+    )
+    F = 4
+    memory_len = rh.shape[1] + th.shape[1]
+    c = cfg.with_mamba_dims()
+    m = c.mamba
+    B, U = 1, 1
+    Vpad = _round_up(c.vocab_size_audio, 128)
+    streamed = 2 * (U * 1 * c.d_model * 2 + U * B * Vpad * 4)
+    scratch = (B * Vpad * 2
+               + c.n_layers * (m.d_conv - 1) * B * m.d_inner * 2
+               + c.n_layers * B * m.d_state * m.d_inner * 4)
+    for wd, kvd in (("bfloat16", "bfloat16"), ("int8", "bfloat16"),
+                    ("int8", "int8")):
+        plan = _build_plan(c, qparams, KV, memory_mask, films, F,
+                           weight_dtype=wd, kv_dtype=kvd)
+        const_bytes = sum(
+            np.asarray(a).nbytes for name, a in plan._asdict().items()
+            if name != "emb_pq"  # streamed per step, not resident whole
+        )
+        got = plan_resident_bytes(c, B, memory_len, wd, kvd)
+        assert got == const_bytes + streamed + scratch, (
+            wd, kvd, got, const_bytes + streamed + scratch)
+
+
+def test_megakernel_fit_monotone():
+    """Fit degrades monotonically: growing batch or memory never yields a
+    FASTER dtype rung, and past the largest rung the planner returns None."""
+    from __graft_entry__ import _flagship_cfg
+    from mamba_tts_tpu.ops.decode_megakernel import (
+        _DTYPE_LADDER,
+        megakernel_fit,
+        megakernel_max_batch,
+    )
+
+    cfg = _flagship_cfg().with_mamba_dims()
+    rank = {pair: i for i, pair in enumerate(_DTYPE_LADDER)}
+    for M in (114, 370, 1250, 2610):
+        prev = -1
+        for B in range(1, 33):
+            fit = megakernel_fit(cfg, B, M)
+            r = rank[fit] if fit is not None else len(_DTYPE_LADDER)
+            assert r >= prev, (M, B, fit)
+            prev = r
+        mb = megakernel_max_batch(cfg, M)
+        assert megakernel_fit(cfg, mb + 1, M) is None or mb == 64
+        if mb:
+            assert megakernel_fit(cfg, mb, M) is not None

@@ -101,3 +101,47 @@ def test_full_train_step_on_mesh():
 
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+@needs_8
+def test_sharded_batch_serving_matches_single_device(monkeypatch):
+    """Synthesizer(mesh=...) decodes synthesize_batch rows via jax.shard_map
+    over the "data" axis — per-row waveforms must match the unsharded
+    single-utterance path.  Style sampling is pinned to the mixture mean
+    (the sharded path folds a per-shard rng — distribution-identical but a
+    different stream, like _run_chunked's per-chunk splits — so greedy
+    parity needs the rng out of the picture).  Also covers the
+    pad-by-repetition path: 6 rows on 8 shards."""
+    from mamba_tts_tpu import config as cl
+    from mamba_tts_tpu.infer.synthesize import load_synthesizer
+    from mamba_tts_tpu.models import smsd as smsd_lib
+
+    def det_mixture(rng, pi, mu, sigma, variance_mode="isotropic_across_clusters",
+                    fixed_std=0.1):
+        k = jnp.argmax(pi, axis=-1)
+        return jnp.take_along_axis(mu, k[:, None, None], axis=1)[:, 0]
+
+    monkeypatch.setattr(smsd_lib, "sample_mixture", det_mixture)
+
+    cfg = cl.from_json(open("tests/smoke_config.json").read())
+    n = len(jax.devices())
+    mesh = make_mesh((n,), ("data",))
+
+    synth = load_synthesizer(cfg)
+    synth_dp = load_synthesizer(cfg, mesh=mesh)  # same seed => same weights
+    B = n - 2  # pads to n by repeating the last row, trims after
+    texts = [f"hello world number {i}" for i in range(B)]
+    styles = ["calm"] * B
+    sr = cfg.codec.sample_rate
+    t = np.arange(3200) / sr
+    voices = [(0.3 * np.sin(2 * np.pi * (180.0 + 20 * i) * t)).astype(np.float32)
+              for i in range(B)]
+
+    wav_dp, info = synth_dp.synthesize_batch(texts, styles, voices, frames=64)
+    assert wav_dp.shape[0] == B
+    for i in range(B):
+        wav_1, _ = synth.synthesize(texts[i], styles[i], voices[i], frames=64)
+        np.testing.assert_allclose(
+            wav_dp[i][: len(wav_1)], wav_1, atol=2e-4,
+            err_msg=f"row {i} diverged from the single-device decode",
+        )

@@ -226,10 +226,23 @@ def test_run_chunked():
 
 
 def test_megakernel_dtype_selection():
+    """The VMEM fit planner reproduces the measured flagship ladder at the
+    headline memory length (3 s prompt: 1200 ref + 50 text tokens) and
+    admits larger batches at shorter prompts."""
+    from __graft_entry__ import _flagship_cfg
     from mamba_tts_tpu.infer.synthesize import _megakernel_dtypes
+    from mamba_tts_tpu.ops.decode_megakernel import megakernel_max_batch
 
-    assert _megakernel_dtypes(1) == ("bfloat16", "bfloat16")
-    assert _megakernel_dtypes(2) == ("bfloat16", "bfloat16")
-    assert _megakernel_dtypes(4) == ("int8", "bfloat16")
-    assert _megakernel_dtypes(8) == ("int8", "int8")
-    assert _megakernel_dtypes(9) is None  # falls back to the step scan
+    cfg = _flagship_cfg().with_mamba_dims()
+    M = 1250  # flagship cross-attention memory length
+    assert _megakernel_dtypes(cfg, 1, M) == ("bfloat16", "bfloat16")
+    assert _megakernel_dtypes(cfg, 2, M) == ("bfloat16", "bfloat16")
+    assert _megakernel_dtypes(cfg, 4, M) == ("int8", "bfloat16")
+    assert _megakernel_dtypes(cfg, 8, M) == ("int8", "int8")
+    assert _megakernel_dtypes(cfg, 9, M) is None  # step-scan fallback
+    assert megakernel_max_batch(cfg, M) == 8
+
+    # 64-frame prompt bucket (320 ref + 50 text): B=16 fits residency
+    short = 64 * cfg.num_quantizers + 50
+    assert _megakernel_dtypes(cfg, 16, short) is not None
+    assert megakernel_max_batch(cfg, short) >= 16
