@@ -149,12 +149,12 @@ def _mega_child():
 
     cfg, dec, variables, qparams, th1, z1, rh1 = _flagship_setup()
 
-    def make(B, wd="bfloat16", kvd="bfloat16"):
+    def make(B, wd="bfloat16", kvd="bfloat16", t_ref=T_ref):
         th = jnp.broadcast_to(th1, (B, T_text, cfg.d_model))
         z = jnp.broadcast_to(z1, (B, cfg.d_style))
-        rh = jnp.broadcast_to(rh1, (B, T_ref, cfg.d_model))
+        rh = jnp.broadcast_to(rh1[:, :t_ref], (B, t_ref, cfg.d_model))
         tm = jnp.ones((B, T_text), bool)
-        rm = jnp.ones((B, T_ref), bool)
+        rm = jnp.ones((B, t_ref), bool)
         return jax.jit(
             lambda: megakernel_greedy_decode(
                 dec, variables, qparams, th, z, F, text_mask=tm,
@@ -169,14 +169,16 @@ def _mega_child():
         "v": round(cfg.num_quantizers * F / wall, 1),
         "wall_s": round(wall, 4),
     })
-    # batched residency variants (per-B dtype choices that fit VMEM; see
-    # infer.synthesize._megakernel_dtypes)
-    for key, B, wd, kvd in (
-        ("megakernel_tokens_per_sec_b8", 8, "int8", "int8"),
-        ("megakernel_tokens_per_sec_b2", 2, "bfloat16", "bfloat16"),
+    # batched residency variants (dtype ladder from the VMEM fit planner;
+    # see ops.decode_megakernel.megakernel_fit).  b16_short: 64-frame
+    # (0.8 s) voice prompt — the planner admits B=16 at that memory length.
+    for key, B, wd, kvd, t_ref in (
+        ("megakernel_tokens_per_sec_b8", 8, "int8", "int8", T_ref),
+        ("megakernel_tokens_per_sec_b16_short", 16, "int8", "int8", 320),
+        ("megakernel_tokens_per_sec_b2", 2, "bfloat16", "bfloat16", T_ref),
     ):
         try:
-            wallb = _timeit(make(B, wd, kvd), reps=2)
+            wallb = _timeit(make(B, wd, kvd, t_ref), reps=2)
             _emit({"k": key, "v": round(B * cfg.num_quantizers * F / wallb, 1)})
         except Exception as e:
             _emit({"k": key, "v": f"error: {type(e).__name__}"})
@@ -416,6 +418,7 @@ def main():
         extras.get("megakernel_tokens_per_sec_b1"), (int, float)
     )
     for k in ("megakernel_tokens_per_sec_b1", "megakernel_tokens_per_sec_b8",
+              "megakernel_tokens_per_sec_b16_short",
               "megakernel_tokens_per_sec_b2"):
         extras.setdefault(k, "error: timeout")
 

@@ -31,11 +31,18 @@ def main(argv=None):
     parser.add_argument("--runs", type=int, default=3)
     args = parser.parse_args(argv)
 
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+
     from mamba_tts_tpu.config import TTSConfig
     from mamba_tts_tpu.infer.synthesize import load_synthesizer
 
+    t0 = time.perf_counter()
     cfg = TTSConfig()  # defaults ARE the flagship scale
     synth = load_synthesizer(cfg, quant=args.quant)
+    print(json.dumps({"stage": "setup",
+                      "s": round(time.perf_counter() - t0, 1)}), flush=True)
 
     text = ("the quick brown fox jumps over the lazy dog near the riverbank "
             "on a quiet october morning")
@@ -46,22 +53,26 @@ def main(argv=None):
     t0 = time.perf_counter()
     wav, info = synth.synthesize(text, style, voice, frames=args.frames)
     compile_s = time.perf_counter() - t0
+    print(json.dumps({"stage": "compile", "s": round(compile_s, 1)}),
+          flush=True)
 
+    # One line PER warm run, improving in place — a deadline mid-sweep
+    # still leaves the parent a valid (slightly pessimistic) e2e_rtf.
     best = None
-    for _ in range(args.runs):
+    for _ in range(max(1, args.runs)):
         wav, info = synth.synthesize(text, style, voice, frames=args.frames)
         if best is None or info["wall_seconds"] < best["wall_seconds"]:
             best = info
-    print(json.dumps({
-        "quant": args.quant,
-        "e2e_rtf": round(best["rtf"], 4),
-        "wall_s": round(best["wall_seconds"], 3),
-        "audio_seconds": round(best["audio_seconds"], 2),
-        "tokens": best["tokens"],
-        "compile_s": round(compile_s, 1),
-        "wav_samples": int(wav.shape[0]),
-        "wav_finite": bool(np.isfinite(wav).all()),
-    }))
+        print(json.dumps({
+            "quant": args.quant,
+            "e2e_rtf": round(best["rtf"], 4),
+            "wall_s": round(best["wall_seconds"], 3),
+            "audio_seconds": round(best["audio_seconds"], 2),
+            "tokens": best["tokens"],
+            "compile_s": round(compile_s, 1),
+            "wav_samples": int(wav.shape[0]),
+            "wav_finite": bool(np.isfinite(wav).all()),
+        }), flush=True)
 
 
 if __name__ == "__main__":

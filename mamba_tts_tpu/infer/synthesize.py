@@ -513,7 +513,8 @@ def load_synthesizer(
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--text", type=str, required=True)
+    parser.add_argument("--text", type=str, default=None,
+                        help="single-utterance mode (or use --texts_file)")
     parser.add_argument("--style_prompt", type=str, default="speak in a neutral voice")
     parser.add_argument("--voice_wav", type=str, required=True)
     parser.add_argument("--output", type=str, default="synthesized.wav")
@@ -531,6 +532,16 @@ def main(argv=None):
                         help="decode-scan numerics (int8 weight streaming; "
                              "int8_kv also quantizes cross-attn K/V; "
                              "megakernel = one-pallas_call B=1 greedy decode)")
+    parser.add_argument("--texts_file", type=str, default=None,
+                        help="batch mode: file with one text per line "
+                             "(style/voice prompts shared); writes "
+                             "<output-stem>_NNN.wav per line")
+    parser.add_argument("--variable_length", action="store_true",
+                        help="batch mode: group rows by their own 64-frame "
+                             "duration bucket instead of the batch max")
+    parser.add_argument("--dp_serving", action="store_true",
+                        help="shard batch rows over all devices on a "
+                             "jax.sharding Mesh (data axis) via shard_map")
     args = parser.parse_args(argv)
 
     from mamba_tts_tpu import config as config_lib
@@ -544,15 +555,40 @@ def main(argv=None):
         (args.facodec_encoder_ckpt, args.facodec_decoder_ckpt)
         if args.facodec_encoder_ckpt else None
     )
+    mesh = None
+    if args.dp_serving:
+        from mamba_tts_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((len(jax.devices()),), ("data",))
     synth = load_synthesizer(
-        cfg, args.checkpoint_dir, args.seed, codec_ckpts=ckpts, quant=args.quant
+        cfg, args.checkpoint_dir, args.seed, codec_ckpts=ckpts,
+        quant=args.quant, mesh=mesh,
     )
+    from mamba_tts_tpu.audio.wavio import write_wav
+
+    if args.texts_file:
+        texts = [ln.strip() for ln in open(args.texts_file) if ln.strip()]
+        B = len(texts)
+        wavs, info = synth.synthesize_batch(
+            texts, [args.style_prompt] * B, [args.voice_wav] * B,
+            frames=args.frames, temperature=args.temperature, seed=args.seed,
+            variable_length=args.variable_length,
+        )
+        stem = args.output[:-4] if args.output.endswith(".wav") else args.output
+        for i, w in enumerate(wavs):
+            write_wav(f"{stem}_{i:03d}.wav", np.asarray(w), cfg.codec.sample_rate)
+        print(info)
+        print(f"wrote {B} wavs to {stem}_*.wav"
+              + (f" (data-parallel over {len(jax.devices())} devices)"
+                 if mesh is not None else ""))
+        return
+
+    if args.text is None:
+        parser.error("one of --text or --texts_file is required")
     wav, info = synth.synthesize(
         args.text, args.style_prompt, args.voice_wav,
         frames=args.frames, temperature=args.temperature, seed=args.seed,
     )
-    from mamba_tts_tpu.audio.wavio import write_wav
-
     write_wav(args.output, wav, cfg.codec.sample_rate)
     print(info)
     print(f"wrote {args.output}: {info['audio_seconds']:.2f}s audio, RTF {info['rtf']:.3f}")

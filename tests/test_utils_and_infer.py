@@ -246,3 +246,32 @@ def test_megakernel_dtype_selection():
     short = 64 * cfg.num_quantizers + 50
     assert _megakernel_dtypes(cfg, 16, short) is not None
     assert megakernel_max_batch(cfg, short) >= 16
+
+
+def test_cli_batch_mode_dp_serving(tmp_path):
+    """`python -m mamba_tts_tpu.infer.synthesize --texts_file ... --dp_serving`
+    writes one wav per line, decoding rows data-parallel over the (virtual)
+    device mesh."""
+    from mamba_tts_tpu.audio.wavio import write_wav
+    from mamba_tts_tpu.infer import synthesize as cli
+
+    cfg = cl.from_json(open("tests/smoke_config.json").read())
+    sr = cfg.codec.sample_rate
+    t = np.arange(3200) / sr
+    voice_path = str(tmp_path / "voice.wav")
+    write_wav(voice_path, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+    texts_path = tmp_path / "texts.txt"
+    texts_path.write_text("hello there\nanother line to speak\n")
+    out = str(tmp_path / "out.wav")
+
+    cli.main([
+        "--texts_file", str(texts_path),
+        "--voice_wav", voice_path,
+        "--output", out,
+        "--config_json", "tests/smoke_config.json",
+        "--frames", "64",
+        "--dp_serving",
+    ])
+    for i in range(2):
+        p = tmp_path / f"out_{i:03d}.wav"
+        assert p.exists() and p.stat().st_size > 1000, p
