@@ -58,9 +58,12 @@ def main(argv=None):
 
     # One line PER warm run, improving in place — a deadline mid-sweep
     # still leaves the parent a valid (slightly pessimistic) e2e_rtf.
+    # wav_finite accumulates over ALL runs so a transient NaN is reported.
     best = None
+    all_finite = bool(np.isfinite(wav).all())
     for _ in range(max(1, args.runs)):
         wav, info = synth.synthesize(text, style, voice, frames=args.frames)
+        all_finite &= bool(np.isfinite(wav).all())
         if best is None or info["wall_seconds"] < best["wall_seconds"]:
             best = info
         print(json.dumps({
@@ -71,7 +74,7 @@ def main(argv=None):
             "tokens": best["tokens"],
             "compile_s": round(compile_s, 1),
             "wav_samples": int(wav.shape[0]),
-            "wav_finite": bool(np.isfinite(wav).all()),
+            "wav_finite": all_finite,
         }), flush=True)
 
 

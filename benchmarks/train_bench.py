@@ -30,7 +30,7 @@ def main():
     from mamba_tts_tpu import config as cl
     from mamba_tts_tpu.models.tts import MambaTTS
     from mamba_tts_tpu.train import state as state_lib
-    from mamba_tts_tpu.train.train import init_params, make_train_step
+    from mamba_tts_tpu.train.train import init_params, make_train_step_fn
 
     B, L, St, Sv = args.batch, args.text_len, args.target_frames, args.voice_frames
     cfg = cl.TTSConfig(decoder=cl.DecoderConfig(use_pallas=not args.no_pallas))
@@ -50,15 +50,29 @@ def main():
     params = init_params(model, cfg, jax.random.PRNGKey(0))
     tx = state_lib.make_optimizer(cfg.train.lr, cfg.train.grad_clip_norm)
     opt = tx.init(params)
-    step = make_train_step(model, tx)
+    step_fn = make_train_step_fn(model, tx)
+
+    # Time N steps inside ONE jitted scan with a SCALAR output: the
+    # tunneled TPU backend ships every call's outputs to the host
+    # (~0.4 GB/s), so a per-step loop returning the param/opt pytrees
+    # times the tunnel (measured ~1.6 s/step at shapes whose real step is
+    # ~0.2 s).  device_get on the scalar is the only reliable sync.
+    @jax.jit
+    def run_n(params, opt):
+        def body(carry, k):
+            p, o = carry
+            p, o, losses = step_fn(p, o, batch, k)
+            return (p, o), losses["loss_total"]
+        keys = jax.random.split(jax.random.PRNGKey(2), args.steps)
+        (_, _), ls = jax.lax.scan(body, (params, opt), keys)
+        return ls
 
     t0 = time.perf_counter()
-    params, opt, losses = step(params, opt, batch, jax.random.PRNGKey(1))
+    ls = jax.device_get(run_n(params, opt))
     print(f"compile+run {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        params, opt, losses = step(params, opt, batch, jax.random.PRNGKey(2))
-    loss = float(jax.device_get(losses["loss_total"]))
+    ls = jax.device_get(run_n(params, opt))
+    loss = float(ls[-1])
     dt = (time.perf_counter() - t0) / args.steps
     print(
         json.dumps(

@@ -60,7 +60,13 @@ def init_params(model: MambaTTS, cfg: TTSConfig, rng: jax.Array):
     return variables["params"]
 
 
-def make_train_step(model: MambaTTS, tx, use_nar_branch: bool = False):
+def make_train_step_fn(model: MambaTTS, tx, use_nar_branch: bool = False):
+    """The raw (un-jitted) train step — (params, opt_state, batch, rng) ->
+    (params, opt_state, losses).  Exposed so harnesses can lax.scan N steps
+    inside one jit (returning only scalars: on the tunneled TPU backend,
+    call outputs ship to the host, so a step that returns the param pytree
+    times the tunnel, not the step)."""
+
     def loss_fn(params, batch, rngs, sample_rng):
         losses = model.apply(
             {"params": params},
@@ -73,7 +79,6 @@ def make_train_step(model: MambaTTS, tx, use_nar_branch: bool = False):
         )
         return losses["loss_total"], losses
 
-    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
         drop_rng, noise_rng, sample_rng = jax.random.split(rng, 3)
         rngs = {"dropout": drop_rng, "noise": noise_rng}
@@ -87,6 +92,12 @@ def make_train_step(model: MambaTTS, tx, use_nar_branch: bool = False):
         return params, opt_state, losses
 
     return train_step
+
+
+def make_train_step(model: MambaTTS, tx, use_nar_branch: bool = False):
+    return partial(jax.jit, donate_argnums=(0, 1))(
+        make_train_step_fn(model, tx, use_nar_branch)
+    )
 
 
 def main(argv: Optional[list] = None):
