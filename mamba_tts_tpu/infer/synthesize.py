@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import time
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -43,10 +44,12 @@ _MEGAKERNEL_UNROLL = 1
 def _run_chunked(run, arrays, rng, chunk):
     """Call the jitted decode in row chunks of <= ``chunk`` and concatenate.
 
-    The megakernel tops out at B=8 per call (VMEM residency), but one B=8
-    call delivers ~100k tok/s — 4x what the monolithic step scan manages at
-    ANY batch (B=16 measured 23.9k).  So large serving batches are fastest
-    as sequential full-rate chunks.  ``chunk=None`` runs monolithic."""
+    ``chunk`` comes from the VMEM fit planner (B=8 at the flagship 3 s
+    prompt, larger at shorter memories — see _decode_rows); one full
+    megakernel chunk delivers ~115k tok/s at B=8 / 227k at B=16-short, 5x+
+    what the monolithic step scan manages at ANY batch (B=16 measured
+    23.9k).  So large serving batches are fastest as sequential full-rate
+    chunks.  ``chunk=None`` runs monolithic."""
     import jax as _jax
 
     B = arrays[0].shape[0]
@@ -60,7 +63,8 @@ def _run_chunked(run, arrays, rng, chunk):
     return jnp.concatenate(outs, axis=0)
 
 
-def _megakernel_dtypes(cfg, batch: int, memory_len: int, sampled: bool = False):
+def _megakernel_dtypes(cfg, batch: int, memory_len: int, sampled: bool = False,
+                       unroll_steps: int = 1):
     """(weight_dtype, kv_dtype) whose VMEM residency fits at this batch and
     cross-attention memory length, or None to fall back to the step scan.
 
@@ -71,7 +75,8 @@ def _megakernel_dtypes(cfg, batch: int, memory_len: int, sampled: bool = False):
     114.7k aggregate on v5e)."""
     from mamba_tts_tpu.ops.decode_megakernel import megakernel_fit
 
-    return megakernel_fit(cfg, batch, memory_len, sampled=sampled)
+    return megakernel_fit(cfg, batch, memory_len, unroll_steps=unroll_steps,
+                          sampled=sampled)
 
 
 class Synthesizer:
@@ -157,22 +162,35 @@ class Synthesizer:
         if key not in self._decode_cache:
             model, decoder = self.model, self.decoder
             params_const = self.params
-            qparams_const, quant = self._qparams, self.quant
+            quant = self.quant
 
-            # params are CLOSED OVER (compile-time constants), not passed as
-            # arguments: weights are fixed at serving time, and baking them
-            # lets XLA pre-format/prefetch them — measured +40% decode
-            # throughput on v5e vs params-as-arguments.
-            def body(phoneme_ids, text_mask, style_bert, voice_codec, rng):
+            # ENCODER params are closed over (small constants: text encoder,
+            # SMSD sampler, audio-embedding tables); DECODER weights are
+            # runtime jit ARGUMENTS.  Closing over the decoder too would
+            # embed its full weight set in the serialized compile request —
+            # the remote-compile service rejects bodies that large (HTTP
+            # 413), and the megakernel gains nothing from constants anyway:
+            # its VMEM residency comes from constant-index BlockSpecs over
+            # pallas_call operands, and plan preprocessing already runs
+            # on-device per call (the optimization_barrier posture).  The
+            # int8 paths stream weights by design.  Only the quant="none"
+            # bf16 step scan loses XLA's constant-pinning here (bench.py's
+            # decoder-only closure still measures that posture).
+            def body(dec_params, qparams, phoneme_ids, text_mask, style_bert,
+                     voice_codec, rng):
                 params = params_const
                 mvars = {"params": params}
+                # independent streams for the style draw and token sampling
+                # (one shared key would correlate the two)
+                style_rng, rng = jax.random.split(rng)
                 text_hidden = model.apply(mvars, phoneme_ids, text_mask, method=MambaTTS.encode_text)
-                z_style = model.apply(mvars, style_bert, rng, method=MambaTTS.sample_style)
+                z_style = model.apply(mvars, style_bert, style_rng, method=MambaTTS.sample_style)
                 ref_hidden, ref_mask = model.apply(mvars, voice_codec, method=MambaTTS.embed_voice)
                 mega_dtypes = _megakernel_dtypes(
                     decoder.cfg, phoneme_ids.shape[0],
                     ref_hidden.shape[1] + text_hidden.shape[1],
                     sampled=temperature > 0,
+                    unroll_steps=_MEGAKERNEL_UNROLL,
                 )
                 if quant == "megakernel" and mega_dtypes is not None:
                     # whole-decode Pallas kernel; weight/KV residency dtypes
@@ -185,8 +203,8 @@ class Synthesizer:
 
                     res = megakernel_greedy_decode(
                         decoder,
-                        {"params": params["decoder"]},
-                        qparams_const,
+                        {"params": dec_params},
+                        qparams,
                         text_hidden,
                         z_style,
                         frames_per_stream,
@@ -204,8 +222,8 @@ class Synthesizer:
 
                     res = greedy_decode_int8(
                         decoder,
-                        {"params": params["decoder"]},
-                        qparams_const,
+                        {"params": dec_params},
+                        qparams,
                         text_hidden,
                         z_style,
                         frames_per_stream,
@@ -219,7 +237,7 @@ class Synthesizer:
                 else:
                     res = greedy_decode(
                         decoder,
-                        {"params": params["decoder"]},
+                        {"params": dec_params},
                         text_hidden,
                         z_style,
                         frames_per_stream,
@@ -243,25 +261,28 @@ class Synthesizer:
                 mesh = self.mesh
                 bspec = P("data")
 
-                def shard_body(phoneme_ids, text_mask, style_bert,
-                               voice_codec, rng):
+                def shard_body(dec_params, qparams, phoneme_ids, text_mask,
+                               style_bert, voice_codec, rng):
                     rng = jax.random.fold_in(
                         rng, jax.lax.axis_index("data")
                     )
-                    return body(phoneme_ids, text_mask, style_bert,
-                                voice_codec, rng)
+                    return body(dec_params, qparams, phoneme_ids, text_mask,
+                                style_bert, voice_codec, rng)
 
-                run = jax.jit(jax.shard_map(
+                # weights replicate (P() prefix over both pytrees), rows shard
+                run_jit = jax.jit(jax.shard_map(
                     shard_body,
                     mesh=mesh,
-                    in_specs=(bspec, bspec, bspec, bspec, P()),
+                    in_specs=(P(), P(), bspec, bspec, bspec, bspec, P()),
                     out_specs=bspec,
                     check_vma=False,
                 ))
             else:
-                run = jax.jit(body)
+                run_jit = jax.jit(body)
 
-            self._decode_cache[key] = run
+            self._decode_cache[key] = partial(
+                run_jit, self.params["decoder"], self._qparams
+            )
         return self._decode_cache[key]
 
     def _encode_voice(self, voice_wavs):
@@ -360,7 +381,8 @@ class Synthesizer:
             Q = self.cfg.decoder.num_quantizers
             memory_len = arrays[3].shape[1] * Q + arrays[0].shape[1]
             per_shard = megakernel_max_batch(
-                self.cfg.decoder, memory_len, sampled=temperature > 0
+                self.cfg.decoder, memory_len,
+                unroll_steps=_MEGAKERNEL_UNROLL, sampled=temperature > 0,
             )
             chunk = per_shard * n_shards or None
         if sharded:
@@ -543,6 +565,8 @@ def main(argv=None):
                         help="shard batch rows over all devices on a "
                              "jax.sharding Mesh (data axis) via shard_map")
     args = parser.parse_args(argv)
+    if args.text is None and not args.texts_file:
+        parser.error("one of --text or --texts_file is required")
 
     from mamba_tts_tpu import config as config_lib
 
@@ -583,8 +607,6 @@ def main(argv=None):
                  if mesh is not None else ""))
         return
 
-    if args.text is None:
-        parser.error("one of --text or --texts_file is required")
     wav, info = synth.synthesize(
         args.text, args.style_prompt, args.voice_wav,
         frames=args.frames, temperature=args.temperature, seed=args.seed,

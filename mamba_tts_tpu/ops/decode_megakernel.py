@@ -706,7 +706,7 @@ def _megakernel_call(cfg: DecoderConfig, plan: _Plan, frames_per_stream: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=128 * 1024 * 1024,
+            vmem_limit_bytes=TPU_VMEM_BYTES,
         ),
         interpret=interpret,
     )(*operands)
