@@ -145,9 +145,21 @@ def _mega_child():
     import jax
     import jax.numpy as jnp
 
-    from mamba_tts_tpu.ops.decode_megakernel import megakernel_greedy_decode
+    from mamba_tts_tpu.ops.decode_megakernel import (
+        build_weight_plan,
+        megakernel_greedy_decode,
+    )
 
     cfg, dec, variables, qparams, th1, z1, rh1 = _flagship_setup()
+    # Serving posture (infer.synthesize): weights/quant tables/weight plans
+    # are runtime jit ARGUMENTS, not closed-over constants — the remote
+    # compile service rejects requests with large embedded constants, and
+    # the kernel's VMEM residency comes from BlockSpec'd operands either
+    # way.  Plans are precomputed once per residency dtype.
+    wps = {
+        wd: jax.jit(lambda q, wd=wd: build_weight_plan(cfg, q, wd))(qparams)
+        for wd in ("bfloat16", "int8")
+    }
 
     def make(B, wd="bfloat16", kvd="bfloat16", t_ref=T_ref):
         th = jnp.broadcast_to(th1, (B, T_text, cfg.d_model))
@@ -155,13 +167,14 @@ def _mega_child():
         rh = jnp.broadcast_to(rh1[:, :t_ref], (B, t_ref, cfg.d_model))
         tm = jnp.ones((B, T_text), bool)
         rm = jnp.ones((B, t_ref), bool)
-        return jax.jit(
-            lambda: megakernel_greedy_decode(
-                dec, variables, qparams, th, z, F, text_mask=tm,
+        f = jax.jit(
+            lambda v, qp, wp: megakernel_greedy_decode(
+                dec, v, qp, th, z, F, text_mask=tm,
                 ref_hidden=rh, ref_mask=rm, interpret=False,
-                weight_dtype=wd, kv_dtype=kvd,
+                weight_dtype=wd, kv_dtype=kvd, weight_plan=wp,
             ).tokens
         )
+        return lambda: f(variables, qparams, wps[wd])
 
     wall = _timeit(make(1))
     _emit({

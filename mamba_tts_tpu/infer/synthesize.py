@@ -126,12 +126,28 @@ class Synthesizer:
         self.decoder = MambaTTSDecoder(cfg.decoder.with_mamba_dims())
         self.params = params
         self._qparams = None
+        self._weight_plans = None
         if quant != "none":
             from mamba_tts_tpu.infer.quant_decode import quantize_decoder_params
 
             self._qparams = quantize_decoder_params(
                 params["decoder"], self.decoder.cfg
             )
+        if quant == "megakernel":
+            # Session-precomputed kernel weight plans (one per residency
+            # dtype the VMEM fit planner can pick), device-resident and
+            # passed to the decode jit as runtime arguments: the per-call
+            # jit then does no weight stacking/casting/scale-folding, and
+            # the compile request stays small (see _decode_fn).
+            from mamba_tts_tpu.ops.decode_megakernel import build_weight_plan
+
+            dcfg, qp = self.decoder.cfg, self._qparams
+            self._weight_plans = {
+                wd: jax.jit(
+                    lambda q, wd=wd: build_weight_plan(dcfg, q, wd)
+                )(qp)
+                for wd in ("bfloat16", "int8")
+            }
         self.tokenizer = tokenizer or FACodecTokenizer(cfg.codec)
         self.frontend = frontend or PhonemeFrontend(vocab_path=cfg.data.phoneme_vocab_path)
         self.style_encoder = style_encoder or StyleTextEncoder(cfg.style_encoder)
@@ -176,8 +192,8 @@ class Synthesizer:
             # int8 paths stream weights by design.  Only the quant="none"
             # bf16 step scan loses XLA's constant-pinning here (bench.py's
             # decoder-only closure still measures that posture).
-            def body(dec_params, qparams, phoneme_ids, text_mask, style_bert,
-                     voice_codec, rng):
+            def body(dec_params, qparams, wplans, phoneme_ids, text_mask,
+                     style_bert, voice_codec, rng):
                 params = params_const
                 mvars = {"params": params}
                 # independent streams for the style draw and token sampling
@@ -216,6 +232,7 @@ class Synthesizer:
                         kv_dtype=mega_dtypes[1],
                         temperature=temperature,
                         rng=rng,
+                        weight_plan=(wplans or {}).get(mega_dtypes[0]),
                     )
                 elif quant != "none":
                     from mamba_tts_tpu.infer.quant_decode import greedy_decode_int8
@@ -261,19 +278,19 @@ class Synthesizer:
                 mesh = self.mesh
                 bspec = P("data")
 
-                def shard_body(dec_params, qparams, phoneme_ids, text_mask,
-                               style_bert, voice_codec, rng):
+                def shard_body(dec_params, qparams, wplans, phoneme_ids,
+                               text_mask, style_bert, voice_codec, rng):
                     rng = jax.random.fold_in(
                         rng, jax.lax.axis_index("data")
                     )
-                    return body(dec_params, qparams, phoneme_ids, text_mask,
-                                style_bert, voice_codec, rng)
+                    return body(dec_params, qparams, wplans, phoneme_ids,
+                                text_mask, style_bert, voice_codec, rng)
 
-                # weights replicate (P() prefix over both pytrees), rows shard
+                # weights replicate (P() prefix over the pytrees), rows shard
                 run_jit = jax.jit(jax.shard_map(
                     shard_body,
                     mesh=mesh,
-                    in_specs=(P(), P(), bspec, bspec, bspec, bspec, P()),
+                    in_specs=(P(), P(), P(), bspec, bspec, bspec, bspec, P()),
                     out_specs=bspec,
                     check_vma=False,
                 ))
@@ -281,7 +298,8 @@ class Synthesizer:
                 run_jit = jax.jit(body)
 
             self._decode_cache[key] = partial(
-                run_jit, self.params["decoder"], self._qparams
+                run_jit, self.params["decoder"], self._qparams,
+                self._weight_plans,
             )
         return self._decode_cache[key]
 

@@ -103,15 +103,54 @@ class _Plan(NamedTuple):
     head_b: jax.Array      # (1, Vpad) f32, -1e9 at specials and pad columns
 
 
-def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
-                films, frames_per_stream: int,
-                weight_dtype: str = "bfloat16",
-                kv_dtype: str = "bfloat16") -> _Plan:
-    """Stack per-layer decode params + memories into kernel-resident arrays.
+class _WeightPlan(NamedTuple):
+    """The weight-side _Plan fields — a pure function of (cfg, qparams,
+    weight_dtype), independent of the utterance.  Serving precomputes one
+    per residency dtype at session setup and passes it as a runtime jit
+    argument, so the per-call decode jit does no weight stacking, casting
+    or scale folding, and the serialized compile request carries no weight
+    constants (the remote-compile service rejects >~128 MB bodies)."""
 
-    ``qparams`` is ``infer.quant_decode.quantize_decoder_params`` output;
-    ``KV``/``memory_mask``/``films`` come from
-    ``MambaTTSDecoder.project_memories`` (B=1).
+    token_embed: jax.Array  # (Vpad, d) bf16
+    pos_embed: jax.Array    # (max_seq, d) — emb_pq gathers per frame budget
+    quant_embed: jax.Array  # (Q, d)
+    norms: jax.Array
+    in_w: jax.Array
+    in_s: jax.Array
+    conv_w: jax.Array
+    conv_b: jax.Array
+    xp_dt: jax.Array
+    xp_B: jax.Array
+    xp_C: jax.Array
+    dt_w: jax.Array
+    dt_b: jax.Array
+    A: jax.Array
+    D: jax.Array
+    out_w: jax.Array
+    out_s: jax.Array
+    q_w: jax.Array
+    q_s: jax.Array
+    q_b: jax.Array
+    headmask: jax.Array
+    o_w: jax.Array
+    o_s: jax.Array
+    o_b: jax.Array
+    ff1_w: jax.Array
+    ff1_s: jax.Array
+    ff1_b: jax.Array
+    ff2_w: jax.Array
+    ff2_s: jax.Array
+    ff2_b: jax.Array
+    norm_out: jax.Array
+    head_w: jax.Array
+    head_b: jax.Array
+
+
+def build_weight_plan(cfg: DecoderConfig, qparams: dict,
+                      weight_dtype: str = "bfloat16") -> _WeightPlan:
+    """Stack per-layer decode params into kernel-resident (L, ...) arrays.
+
+    ``qparams`` is ``infer.quant_decode.quantize_decoder_params`` output.
 
     ``weight_dtype``: "bfloat16" pre-folds each int8 weight's per-channel
     scale into a bf16 weight — the per-use int8->bf16 convert + scale-mul
@@ -129,13 +168,6 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
 
     Vreal = c.vocab_size_audio
     Vpad = _round_up(Vreal, 128)
-    total = c.num_quantizers * frames_per_stream
-
-    # --- per-step pos+quant embedding (streamed (1, d) per grid step) ---
-    steps = jnp.arange(total, dtype=jnp.int32)
-    q_id = jnp.minimum(steps // frames_per_stream, c.num_quantizers - 1)
-    pos_id = steps % frames_per_stream
-    emb_pq = (qparams["pos_embed"][pos_id] + qparams["quant_embed"][q_id]).astype(bf)
 
     te = jnp.zeros((Vpad, d), bf).at[:Vreal].set(qparams["token_embed"].astype(bf))
 
@@ -149,6 +181,101 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
     ]).astype(jnp.float32))
 
     xp = stack(lambda lp: lp["x_proj_k"].astype(bf))  # (L, di, r+2N)
+
+    headmask = (jnp.arange(d)[None, :] // hd
+                == jnp.arange(H)[:, None]).astype(bf)
+
+    head_w = jnp.zeros((d, Vpad), bf).at[:, :Vreal].set(
+        qparams["head_k"].astype(bf)
+    )
+    head_b = jnp.full((Vpad,), -1e9, jnp.float32).at[:Vreal].set(
+        qparams["head_b"].astype(jnp.float32)
+    )
+    head_b = head_b.at[: c.num_special_tokens].set(-1e9)[None]
+
+    wp = _WeightPlan(
+        token_embed=te,
+        pos_embed=qparams["pos_embed"],
+        quant_embed=qparams["quant_embed"],
+        norms=norms,
+        in_w=stack(lambda lp: lp["in_proj"]["w_q"]),
+        in_s=stack(lambda lp: lp["in_proj"]["scale"])[:, None, :],
+        conv_w=stack(lambda lp: lp["conv_w"].astype(bf)),
+        conv_b=stack(
+            lambda lp: (lp["conv_b"] if lp["conv_b"] is not None
+                        else jnp.zeros((di,))).astype(jnp.float32)
+        )[:, None, :],
+        xp_dt=xp[:, :, :r],
+        xp_B=xp[:, :, r:r + N],
+        xp_C=xp[:, :, r + N:],
+        dt_w=stack(lambda lp: lp["dt_proj_k"].astype(bf)),
+        dt_b=stack(lambda lp: lp["dt_proj_b"].astype(jnp.float32))[:, None, :],
+        A=jnp.stack([qparams["layers"][i]["A"].T for i in range(L)]).astype(jnp.float32),
+        D=stack(lambda lp: lp["D"].astype(jnp.float32))[:, None, :],
+        out_w=stack(lambda lp: lp["out_proj"]["w_q"]),
+        out_s=stack(lambda lp: lp["out_proj"]["scale"])[:, None, :],
+        q_w=stack(lambda lp: lp["q_proj"]["w_q"]),
+        q_s=stack(lambda lp: lp["q_proj"]["scale"])[:, None, :],
+        q_b=stack(lambda lp: lp["q_proj"]["bias"])[:, None, :],
+        headmask=headmask,
+        o_w=stack(lambda lp: lp["o_proj"]["w_q"]),
+        o_s=stack(lambda lp: lp["o_proj"]["scale"])[:, None, :],
+        o_b=stack(lambda lp: lp["o_proj"]["bias"])[:, None, :],
+        ff1_w=stack(lambda lp: lp["ff1"]["w_q"]),
+        ff1_s=stack(lambda lp: lp["ff1"]["scale"])[:, None, :],
+        ff1_b=stack(lambda lp: lp["ff1"]["bias"])[:, None, :],
+        ff2_w=stack(lambda lp: lp["ff2"]["w_q"]),
+        ff2_s=stack(lambda lp: lp["ff2"]["scale"])[:, None, :],
+        ff2_b=stack(lambda lp: lp["ff2"]["bias"])[:, None, :],
+        norm_out=jnp.stack(
+            [qparams["norm_out"]["scale"], qparams["norm_out"]["bias"]]
+        ).astype(jnp.float32),
+        head_w=head_w,
+        head_b=head_b,
+    )
+    if weight_dtype == "bfloat16":
+        def fold(w, s):  # (L, K, Nc) int8, (L, 1, Nc) f32 -> bf16, pre-scaled
+            return (w.astype(jnp.float32) * s).astype(bf)
+
+        wp = wp._replace(
+            in_w=fold(wp.in_w, wp.in_s),
+            out_w=fold(wp.out_w, wp.out_s),
+            q_w=fold(wp.q_w, wp.q_s),
+            o_w=fold(wp.o_w, wp.o_s),
+            ff1_w=fold(wp.ff1_w, wp.ff1_s),
+            ff2_w=fold(wp.ff2_w, wp.ff2_s),
+        )
+    elif weight_dtype != "int8":
+        raise ValueError(f"weight_dtype must be bfloat16|int8: {weight_dtype}")
+    return wp
+
+
+def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
+                films, frames_per_stream: int,
+                weight_dtype: str = "bfloat16",
+                kv_dtype: str = "bfloat16",
+                weight_plan: Optional[_WeightPlan] = None) -> _Plan:
+    """Merge the (precomputable) weight plan with the per-utterance
+    conditioning side — K/V memories, memory mask, FiLM rows, per-step
+    pos+quant embedding — into the kernel-resident _Plan.
+
+    ``KV``/``memory_mask``/``films`` come from
+    ``MambaTTSDecoder.project_memories``.  ``weight_plan`` skips the weight
+    stacking entirely (serving passes a session-precomputed one as a jit
+    argument); None rebuilds it inline from ``qparams``.
+    """
+    c = cfg
+    bf = jnp.bfloat16
+    wp = (build_weight_plan(cfg, qparams, weight_dtype)
+          if weight_plan is None else weight_plan)
+    d, L = c.d_model, c.n_layers
+    total = c.num_quantizers * frames_per_stream
+
+    # --- per-step pos+quant embedding (streamed (1, d) per grid step) ---
+    steps = jnp.arange(total, dtype=jnp.int32)
+    q_id = jnp.minimum(steps // frames_per_stream, c.num_quantizers - 1)
+    pos_id = steps % frames_per_stream
+    emb_pq = (wp.pos_embed[pos_id] + wp.quant_embed[q_id]).astype(bf)
 
     # all-heads attention layout (heads ride SUBLANES in the kernel):
     #   K (L, B, d, Tmp): channel h*hd+j, position t  <- KV[l][0][b, h, t, j]
@@ -186,8 +313,6 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
         v_scale = jnp.ones((L, Bsz, 1, d), jnp.float32)
     else:
         raise ValueError(f"kv_dtype must be bfloat16|int8: {kv_dtype}")
-    headmask = (jnp.arange(d)[None, :] // hd
-                == jnp.arange(H)[:, None]).astype(bf)
 
     if memory_mask is None:
         valid = jnp.ones((Bsz, Tm), bool)
@@ -200,70 +325,13 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
     gamma = jnp.stack([g.astype(jnp.float32) for g, _ in films])  # (L, B, d)
     beta = jnp.stack([b.astype(jnp.float32) for _, b in films])
 
-    head_w = jnp.zeros((d, Vpad), bf).at[:, :Vreal].set(
-        qparams["head_k"].astype(bf)
-    )
-    head_b = jnp.full((Vpad,), -1e9, jnp.float32).at[:Vreal].set(
-        qparams["head_b"].astype(jnp.float32)
-    )
-    head_b = head_b.at[: c.num_special_tokens].set(-1e9)[None]
-
-    plan = _Plan(
+    return _Plan(
         emb_pq=emb_pq,
-        token_embed=te,
-        norms=norms,
-        in_w=stack(lambda lp: lp["in_proj"]["w_q"]),
-        in_s=stack(lambda lp: lp["in_proj"]["scale"])[:, None, :],
-        conv_w=stack(lambda lp: lp["conv_w"].astype(bf)),
-        conv_b=stack(
-            lambda lp: (lp["conv_b"] if lp["conv_b"] is not None
-                        else jnp.zeros((di,))).astype(jnp.float32)
-        )[:, None, :],
-        xp_dt=xp[:, :, :r],
-        xp_B=xp[:, :, r:r + N],
-        xp_C=xp[:, :, r + N:],
-        dt_w=stack(lambda lp: lp["dt_proj_k"].astype(bf)),
-        dt_b=stack(lambda lp: lp["dt_proj_b"].astype(jnp.float32))[:, None, :],
-        A=jnp.stack([qparams["layers"][i]["A"].T for i in range(L)]).astype(jnp.float32),
-        D=stack(lambda lp: lp["D"].astype(jnp.float32))[:, None, :],
-        out_w=stack(lambda lp: lp["out_proj"]["w_q"]),
-        out_s=stack(lambda lp: lp["out_proj"]["scale"])[:, None, :],
-        q_w=stack(lambda lp: lp["q_proj"]["w_q"]),
-        q_s=stack(lambda lp: lp["q_proj"]["scale"])[:, None, :],
-        q_b=stack(lambda lp: lp["q_proj"]["bias"])[:, None, :],
-        headmask=headmask,
         K=Kst, V=Vst, k_scale=k_scale, v_scale=v_scale, mask_row=mask_row,
-        o_w=stack(lambda lp: lp["o_proj"]["w_q"]),
-        o_s=stack(lambda lp: lp["o_proj"]["scale"])[:, None, :],
-        o_b=stack(lambda lp: lp["o_proj"]["bias"])[:, None, :],
         gamma=gamma, beta=beta,
-        ff1_w=stack(lambda lp: lp["ff1"]["w_q"]),
-        ff1_s=stack(lambda lp: lp["ff1"]["scale"])[:, None, :],
-        ff1_b=stack(lambda lp: lp["ff1"]["bias"])[:, None, :],
-        ff2_w=stack(lambda lp: lp["ff2"]["w_q"]),
-        ff2_s=stack(lambda lp: lp["ff2"]["scale"])[:, None, :],
-        ff2_b=stack(lambda lp: lp["ff2"]["bias"])[:, None, :],
-        norm_out=jnp.stack(
-            [qparams["norm_out"]["scale"], qparams["norm_out"]["bias"]]
-        ).astype(jnp.float32),
-        head_w=head_w,
-        head_b=head_b,
+        **{f: getattr(wp, f) for f in _WeightPlan._fields
+           if f not in ("pos_embed", "quant_embed")},
     )
-    if weight_dtype == "bfloat16":
-        def fold(w, s):  # (L, K, Nc) int8, (L, 1, Nc) f32 -> bf16, pre-scaled
-            return (w.astype(jnp.float32) * s).astype(bf)
-
-        plan = plan._replace(
-            in_w=fold(plan.in_w, plan.in_s),
-            out_w=fold(plan.out_w, plan.out_s),
-            q_w=fold(plan.q_w, plan.q_s),
-            o_w=fold(plan.o_w, plan.o_s),
-            ff1_w=fold(plan.ff1_w, plan.ff1_s),
-            ff2_w=fold(plan.ff2_w, plan.ff2_s),
-        )
-    elif weight_dtype != "int8":
-        raise ValueError(f"weight_dtype must be bfloat16|int8: {weight_dtype}")
-    return plan
 
 
 # v5e VMEM per core; _megakernel_call passes this as vmem_limit_bytes.
@@ -731,6 +799,7 @@ def megakernel_greedy_decode(
     kv_dtype: str = "bfloat16",
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
+    weight_plan: Optional[_WeightPlan] = None,
 ) -> DecodeResult:
     """Greedy (or Gumbel-max sampled) decode of the full utterance in one
     fused Pallas kernel.
@@ -770,20 +839,23 @@ def megakernel_greedy_decode(
     # not from folded constants, so breaking the fold costs ~nothing at run
     # time (plan construction is a few ms of on-device work per call).
     barrier = [variables, qparams, text_hidden, z_style]
-    barrier += [x for x in (text_mask, ref_hidden, ref_mask) if x is not None]
+    barrier += [x for x in (text_mask, ref_hidden, ref_mask, weight_plan)
+                if x is not None]
     barrier = list(jax.lax.optimization_barrier(tuple(barrier)))
     variables, qparams, text_hidden, z_style = barrier[:4]
     it = iter(barrier[4:])
     text_mask = next(it) if text_mask is not None else None
     ref_hidden = next(it) if ref_hidden is not None else None
     ref_mask = next(it) if ref_mask is not None else None
+    weight_plan = next(it) if weight_plan is not None else None
 
     KV, memory_mask, films = decoder.apply(
         variables, text_hidden, text_mask, ref_hidden, ref_mask, z_style,
         method=MambaTTSDecoder.project_memories,
     )
     plan = _build_plan(c, qparams, KV, memory_mask, films, frames_per_stream,
-                       weight_dtype=weight_dtype, kv_dtype=kv_dtype)
+                       weight_dtype=weight_dtype, kv_dtype=kv_dtype,
+                       weight_plan=weight_plan)
     Vpad = plan.token_embed.shape[0]
     forced_oh = None
     if forced_tokens is not None:

@@ -300,3 +300,32 @@ def test_megakernel_fit_monotone():
         assert megakernel_fit(cfg, mb + 1, M) is None or mb == 64
         if mb:
             assert megakernel_fit(cfg, mb, M) is not None
+
+
+def test_precomputed_weight_plan_matches_inline():
+    """A session-precomputed weight plan (the serving posture: plans are
+    runtime jit args, see infer.synthesize) is bit-identical to the inline
+    qparams rebuild, for both residency dtypes."""
+    from mamba_tts_tpu.ops.decode_megakernel import build_weight_plan
+
+    cfg = _tiny()
+    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg, seed=5)
+    F = 4
+    for wd, kvd in (("bfloat16", "bfloat16"), ("int8", "int8")):
+        wp = jax.jit(lambda q, wd=wd: build_weight_plan(cfg, q, wd))(qparams)
+        res_inline = megakernel_greedy_decode(
+            dec, variables, qparams, th, z, F, text_mask=tm, ref_hidden=rh,
+            ref_mask=rm, collect_logits=True, weight_dtype=wd, kv_dtype=kvd,
+        )
+        res_wp = megakernel_greedy_decode(
+            dec, variables, qparams, th, z, F, text_mask=tm, ref_hidden=rh,
+            ref_mask=rm, collect_logits=True, weight_dtype=wd, kv_dtype=kvd,
+            weight_plan=wp,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_inline.tokens), np.asarray(res_wp.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_inline.logits, dtype=np.float32),
+            np.asarray(res_wp.logits, dtype=np.float32),
+        )
