@@ -152,6 +152,7 @@ class Synthesizer:
         self.frontend = frontend or PhonemeFrontend(vocab_path=cfg.data.phoneme_vocab_path)
         self.style_encoder = style_encoder or StyleTextEncoder(cfg.style_encoder)
         self._decode_cache = {}
+        self._voice_cache = {}  # name -> (codec (max_seq, Q), true frames)
 
         model = self.model
 
@@ -303,17 +304,57 @@ class Synthesizer:
             )
         return self._decode_cache[key]
 
+    def register_voice(self, name: str, voice_wav) -> None:
+        """Encode a voice prompt ONCE and cache its codec grid under
+        ``name``; ``synthesize``/``synthesize_batch`` then accept the name
+        string in place of the waveform.  Repeat-speaker serving skips the
+        per-request FACodec encode entirely (the encode is the dominant
+        front-end cost for a multi-second prompt).
+
+        The reference has no serving driver, let alone speaker reuse; this
+        is TPU-serving value-add (reference: dataset.py:85-92 re-reads a
+        prompt WAV per sample)."""
+        codec, _, lens = self.tokenizer.encode_with_lengths([voice_wav])
+        self._voice_cache[name] = (np.asarray(codec[0]), int(lens[0]))
+
     def _encode_voice(self, voice_wavs):
         """Tokenize voice prompts, then TRIM the codec grid to a 64-frame
         bucket of the true prompt length.  The tokenizer pads to the full
         ``max_seq_len`` (1024 frames = 5120 ref tokens); carrying that into
         the decoder multiplies cross-attention K/V by ~4x for a typical 3 s
         prompt — past VMEM for the megakernel and pure waste for the scans
-        (padding is masked, but its K/V still streams every step)."""
-        voice_codec, _, voice_lens = self.tokenizer.encode_with_lengths(voice_wavs)
+        (padding is masked, but its K/V still streams every step).
+
+        Rows may be waveforms or ``register_voice`` names.  Identical
+        waveform OBJECTS encode once (the batch CLI shares one prompt
+        across all rows; encoding it B times is pure waste)."""
+        rows: list = [None] * len(voice_wavs)
+        lens: list = [0] * len(voice_wavs)
+        fresh, fresh_idx, seen = [], [], {}
+        for i, v in enumerate(voice_wavs):
+            if isinstance(v, str) and v in self._voice_cache:
+                rows[i], lens[i] = self._voice_cache[v]
+                continue
+            # unregistered strings fall through as file paths (tokenizer
+            # loads them); dedupe paths by value, arrays by object identity
+            key = v if isinstance(v, str) else id(v)
+            if key in seen:
+                rows[i] = seen[key]  # backreference, filled after encode
+            else:
+                seen[key] = i
+                fresh.append(v)
+                fresh_idx.append(i)
+        if fresh:
+            codec, _, fresh_lens = self.tokenizer.encode_with_lengths(fresh)
+            for j, i in enumerate(fresh_idx):
+                rows[i] = np.asarray(codec[j])
+                lens[i] = int(fresh_lens[j])
+        for i, r in enumerate(rows):
+            if isinstance(r, int):  # dedup backreference
+                rows[i], lens[i] = rows[r], lens[r]
         S = int(min(self.cfg.codec.max_seq_len,
-                    -(-max(8, int(voice_lens.max())) // 64) * 64))
-        return voice_codec[:, :S]
+                    -(-max(8, max(lens)) // 64) * 64))
+        return np.stack([r[:S] for r in rows])
 
     def predict_frames_per_utterance(self, phoneme_ids, text_mask) -> np.ndarray:
         """(B,) per-utterance frame budgets from the duration predictor (sum

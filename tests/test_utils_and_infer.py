@@ -275,3 +275,49 @@ def test_cli_batch_mode_dp_serving(tmp_path):
     for i in range(2):
         p = tmp_path / f"out_{i:03d}.wav"
         assert p.exists() and p.stat().st_size > 1000, p
+
+
+def test_register_voice_and_dedupe():
+    """register_voice caches the codec grid (no re-encode per request; the
+    name string substitutes for the waveform, identical rows), and identical
+    waveform OBJECTS in one batch encode only once (the batch CLI shares a
+    single prompt across all rows)."""
+    from mamba_tts_tpu.infer.synthesize import load_synthesizer
+
+    cfg = cl.from_json(open("tests/smoke_config.json").read())
+    synth = load_synthesizer(cfg)
+    sr = cfg.codec.sample_rate
+    t = np.arange(int(0.5 * sr)) / sr
+    voice = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    direct = synth._encode_voice([voice])
+    synth.register_voice("alice", voice)
+
+    calls = []
+    real = synth.tokenizer.encode_with_lengths
+
+    def counting(wavs):
+        calls.append(len(wavs))
+        return real(wavs)
+
+    synth.tokenizer.encode_with_lengths = counting
+    try:
+        # registered name: zero tokenizer calls, identical rows
+        by_name = synth._encode_voice(["alice", "alice"])
+        assert calls == []
+        np.testing.assert_array_equal(by_name[0], direct[0])
+        np.testing.assert_array_equal(by_name[1], direct[0])
+
+        # shared object in a batch: ONE encode for three rows
+        mixed = synth._encode_voice([voice, voice, voice])
+        assert calls == [1]
+        np.testing.assert_array_equal(mixed[1], mixed[0])
+        np.testing.assert_array_equal(mixed[2], mixed[0])
+        np.testing.assert_array_equal(mixed[0], direct[0])
+
+        # unregistered strings fall through to the tokenizer as paths
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            synth._encode_voice(["/nonexistent/bob.wav"])
+    finally:
+        synth.tokenizer.encode_with_lengths = real
