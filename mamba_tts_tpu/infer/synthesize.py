@@ -46,7 +46,7 @@ def _run_chunked(run, arrays, rng, chunk):
 
     ``chunk`` comes from the VMEM fit planner (B=8 at the flagship 3 s
     prompt, larger at shorter memories — see _decode_rows); one full
-    megakernel chunk delivers ~115k tok/s at B=8 / 227k at B=16-short, 5x+
+    megakernel chunk delivers ~109k tok/s at B=8 / 235k at B=16-short, 5x+
     what the monolithic step scan manages at ANY batch (B=16 measured
     23.9k).  So large serving batches are fastest as sequential full-rate
     chunks.  ``chunk=None`` runs monolithic."""
