@@ -77,6 +77,21 @@ def main(argv=None):
             "wav_finite": all_finite,
         }), flush=True)
 
+    # Repeat-speaker serving: the registered voice skips the per-request
+    # FACodec prompt encode (Synthesizer.register_voice).
+    synth.register_voice("bench", voice)
+    best_reg = None
+    for _ in range(max(1, args.runs)):
+        wav, info = synth.synthesize(text, style, "bench", frames=args.frames)
+        if best_reg is None or info["wall_seconds"] < best_reg["wall_seconds"]:
+            best_reg = info
+        print(json.dumps({
+            "quant": args.quant,
+            "e2e_rtf_registered_voice": round(best_reg["rtf"], 4),
+            "wall_s": round(best_reg["wall_seconds"], 3),
+            "wav_finite": bool(np.isfinite(wav).all()),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()
