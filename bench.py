@@ -187,7 +187,8 @@ def _mega_child():
     # (0.8 s) voice prompt — the planner admits B=16 at that memory length.
     # (B=2 bf16/bf16 was dropped from the sweep: least informative extra,
     # and every Mosaic compile here costs minutes of the global budget —
-    # 52.7k tok/s last measured, see README.)
+    # last measured 50.9k tok/s, now a retired builder-measured number in
+    # the README.)
     for key, B, wd, kvd, t_ref in (
         ("megakernel_tokens_per_sec_b8", 8, "int8", "int8", T_ref),
         ("megakernel_tokens_per_sec_b16_short", 16, "int8", "int8", 320),
@@ -499,6 +500,10 @@ def main():
         )
         got = [d for d in lines if "e2e_rtf" in d]
         extras["e2e_rtf"] = got[-1]["e2e_rtf"] if got else "error: timeout"
+        reg = [d for d in lines if "e2e_rtf_registered_voice" in d]
+        if reg:
+            extras["e2e_rtf_registered_voice"] = \
+                reg[-1]["e2e_rtf_registered_voice"]
     else:
         extras["e2e_rtf"] = "skipped: budget"
 

@@ -83,13 +83,14 @@ def main(argv=None):
     best_reg = None
     for _ in range(max(1, args.runs)):
         wav, info = synth.synthesize(text, style, "bench", frames=args.frames)
+        all_finite &= bool(np.isfinite(wav).all())
         if best_reg is None or info["wall_seconds"] < best_reg["wall_seconds"]:
             best_reg = info
         print(json.dumps({
             "quant": args.quant,
             "e2e_rtf_registered_voice": round(best_reg["rtf"], 4),
             "wall_s": round(best_reg["wall_seconds"], 3),
-            "wav_finite": bool(np.isfinite(wav).all()),
+            "wav_finite": all_finite,
         }), flush=True)
 
 

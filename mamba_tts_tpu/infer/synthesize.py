@@ -141,13 +141,11 @@ class Synthesizer:
             # the compile request stays small (see _decode_fn).
             from mamba_tts_tpu.ops.decode_megakernel import build_weight_plan
 
-            dcfg, qp = self.decoder.cfg, self._qparams
-            self._weight_plans = {
-                wd: jax.jit(
-                    lambda q, wd=wd: build_weight_plan(dcfg, q, wd)
-                )(qp)
-                for wd in ("bfloat16", "int8")
-            }
+            dcfg = self.decoder.cfg
+            self._weight_plans = jax.jit(
+                lambda q: {wd: build_weight_plan(dcfg, q, wd)
+                           for wd in ("bfloat16", "int8")}
+            )(self._qparams)
         self.tokenizer = tokenizer or FACodecTokenizer(cfg.codec)
         self.frontend = frontend or PhonemeFrontend(vocab_path=cfg.data.phoneme_vocab_path)
         self.style_encoder = style_encoder or StyleTextEncoder(cfg.style_encoder)

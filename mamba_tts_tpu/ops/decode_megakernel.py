@@ -268,6 +268,14 @@ def _build_plan(cfg: DecoderConfig, qparams: dict, KV, memory_mask,
     bf = jnp.bfloat16
     wp = (build_weight_plan(cfg, qparams, weight_dtype)
           if weight_plan is None else weight_plan)
+    # A dtype-mismatched precomputed plan would silently bypass the VMEM
+    # fit planner's residency choice (bf16 weights are 2x the int8 budget).
+    want = jnp.int8 if weight_dtype == "int8" else bf
+    if wp.in_w.dtype != want:
+        raise ValueError(
+            f"weight_plan dtype {wp.in_w.dtype} does not match "
+            f"weight_dtype={weight_dtype!r}"
+        )
     d, L = c.d_model, c.n_layers
     total = c.num_quantizers * frames_per_stream
 
