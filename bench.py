@@ -425,6 +425,29 @@ def main():
     py = sys.executable
     me = str(_HERE / "bench.py")
 
+    # 0. Backend health probe: a trivial jit through the TPU tunnel.  When
+    #    the tunnel/compile service is down, every child would hang to its
+    #    deadline and the run burns the full budget reporting nothing —
+    #    observed 2026-08-17 (even `lambda a: a+1` hung).  Probe with a
+    #    short deadline; on failure emit the degraded-but-parseable line
+    #    immediately with an explicit marker.
+    probe = (
+        "import jax, jax.numpy as jnp\n"
+        "y = jax.device_get(jax.jit(lambda a: (a + 1).sum())"
+        "(jnp.ones((8, 8))))\n"
+        "import json; print(json.dumps({'k': 'probe_ok', 'v': float(y)}),"
+        " flush=True)\n"
+    )
+    lines = _run_child([py, "-c", probe], min(240.0, remaining()), "probe")
+    if not any(d.get("k") == "probe_ok" for d in lines):
+        extras["backend_unhealthy"] = (
+            "trivial jit did not complete in 240 s - TPU tunnel or "
+            "remote-compile service down"
+        )
+        signal.alarm(0)
+        _finalize()
+        return
+
     # 1. Megakernel child FIRST: the fastest serving path and the headline
     #    when it succeeds; B=1 also has the cheapest Mosaic compile.
     #    Reserve enough tail budget for a step-scan fallback headline.
