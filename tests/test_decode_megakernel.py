@@ -329,3 +329,20 @@ def test_precomputed_weight_plan_matches_inline():
             np.asarray(res_inline.logits, dtype=np.float32),
             np.asarray(res_wp.logits, dtype=np.float32),
         )
+
+
+def test_weight_plan_dtype_mismatch_rejected():
+    """_build_plan refuses a precomputed plan whose residency dtype differs
+    from the requested weight_dtype (a mismatch would silently bypass the
+    VMEM fit planner's choice)."""
+    from mamba_tts_tpu.ops.decode_megakernel import build_weight_plan
+
+    cfg = _tiny()
+    dec, variables, qparams, th, z, tm, rh, rm = _setup(cfg, seed=7)
+    wp_bf16 = build_weight_plan(cfg, qparams, "bfloat16")
+    with pytest.raises(ValueError, match="does not match"):
+        megakernel_greedy_decode(
+            dec, variables, qparams, th, z, 4, text_mask=tm, ref_hidden=rh,
+            ref_mask=rm, weight_dtype="int8", kv_dtype="int8",
+            weight_plan=wp_bf16,
+        )
