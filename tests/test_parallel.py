@@ -145,3 +145,54 @@ def test_sharded_batch_serving_matches_single_device(monkeypatch):
             wav_dp[i][: len(wav_1)], wav_1, atol=2e-4,
             err_msg=f"row {i} diverged from the single-device decode",
         )
+
+
+def test_sharded_megakernel_serving_smoke(monkeypatch):
+    """quant="megakernel" under a data mesh: the precomputed weight-plan
+    pytree rides shard_map's replicated P() spec and each shard runs the
+    Pallas kernel (interpret mode on CPU) on its rows.  Pins the in_specs
+    arity for the (dec_params, qparams, wplans, ...) signature."""
+    from mamba_tts_tpu import config as cl
+    from mamba_tts_tpu.infer.synthesize import load_synthesizer
+    from mamba_tts_tpu.models import smsd as smsd_lib
+
+    def det_mixture(rng, pi, mu, sigma, variance_mode="isotropic_across_clusters",
+                    fixed_std=0.1):
+        k = jnp.argmax(pi, axis=-1)
+        return jnp.take_along_axis(mu, k[:, None, None], axis=1)[:, 0]
+
+    monkeypatch.setattr(smsd_lib, "sample_mixture", det_mixture)
+
+    cfg = cl.from_json(open("tests/smoke_config.json").read())
+    n = len(jax.devices())
+    mesh = make_mesh((n,), ("data",))
+    synth = load_synthesizer(cfg, quant="megakernel")
+    synth_dp = load_synthesizer(cfg, quant="megakernel", mesh=mesh)
+
+    texts = [f"hi there {i}" for i in range(n)]
+    styles = ["calm"] * n
+    sr = cfg.codec.sample_rate
+    t = np.arange(1600) / sr
+    voice = (0.3 * np.sin(2 * np.pi * 200.0 * t)).astype(np.float32)
+    F = 4
+    run = synth_dp._decode_fn(F, 0.0, sharded=True)
+    phoneme_ids, _, text_mask = synth_dp.frontend.encode_batch(
+        texts, pad_to=cfg.data.max_text_len
+    )
+    style_bert = np.asarray(synth_dp.style_encoder.embed(styles))
+    voice_codec = synth_dp._encode_voice([voice] * n)
+    toks_dp = np.asarray(jax.device_get(run(
+        jnp.asarray(phoneme_ids), jnp.asarray(text_mask),
+        jnp.asarray(style_bert), jnp.asarray(voice_codec),
+        jax.random.PRNGKey(0),
+    )))
+    assert toks_dp.shape == (n, cfg.decoder.num_quantizers * F)
+
+    # row parity vs the unsharded megakernel path (greedy: rng-free)
+    run_1 = synth._decode_fn(F, 0.0)
+    toks_1 = np.asarray(jax.device_get(run_1(
+        jnp.asarray(phoneme_ids[:1]), jnp.asarray(text_mask[:1]),
+        jnp.asarray(style_bert[:1]), jnp.asarray(voice_codec[:1]),
+        jax.random.PRNGKey(0),
+    )))
+    np.testing.assert_array_equal(toks_dp[0], toks_1[0])
