@@ -379,7 +379,10 @@ class Synthesizer:
         temperature: float = 0.0,
         seed: int = 0,
     ) -> Tuple[np.ndarray, dict]:
-        """Returns (waveform (T,) float32 @16 kHz, info dict)."""
+        """Returns (waveform (T,) float32 @16 kHz, info dict).
+
+        ``voice_wav``: a waveform array, a WAV path, or a name previously
+        passed to :meth:`register_voice` (skips the prompt encode)."""
         t0 = time.perf_counter()
         phoneme_ids, _, text_mask = self.frontend.encode_batch(
             [text], pad_to=self.cfg.data.max_text_len
