@@ -279,27 +279,48 @@ def _stepscan_child(jobs):
 
 def _run_child(argv, timeout_s, tag):
     """Run a child, reading newline-delimited JSON incrementally; on deadline
-    kill it and keep whatever lines completed.  Returns list of dicts."""
+    kill it and keep whatever lines completed.  Returns list of dicts.
+
+    Reads the pipe NON-BLOCKING in raw chunks with manual line splitting:
+    select() on the fd + buffered readline() can strand a second flushed
+    line inside the TextIOWrapper buffer (the fd is drained, so select
+    never fires again) and a kill would then discard a milestone the child
+    actually completed.  A final drain after exit/kill collects anything
+    still in the pipe."""
     lines = []
     log_dir = _HERE / ".bench_logs"
+    errlog = subprocess.DEVNULL
     try:
         log_dir.mkdir(exist_ok=True)
         errlog = open(log_dir / f"{tag}.stderr", "w")
     except Exception:
-        errlog = subprocess.DEVNULL
+        pass
+
+    def _absorb_text(buf_bytes):
+        for raw in buf_bytes.split(b"\n"):
+            raw = raw.strip()
+            if raw.startswith(b"{"):
+                try:
+                    lines.append(json.loads(raw.decode("utf-8", "replace")))
+                except json.JSONDecodeError:
+                    pass
+
     try:
         proc = subprocess.Popen(
-            argv, stdout=subprocess.PIPE, stderr=errlog,
-            text=True, cwd=str(_HERE),
+            argv, stdout=subprocess.PIPE, stderr=errlog, cwd=str(_HERE),
         )
     except Exception:
+        if errlog is not subprocess.DEVNULL:
+            errlog.close()
         return lines
+    fd = proc.stdout.fileno()
+    os.set_blocking(fd, False)
     deadline = time.monotonic() + timeout_s
     import selectors
 
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
-    buf = ""
+    pending = b""
     try:
         while True:
             budget = deadline - time.monotonic()
@@ -310,22 +331,38 @@ def _run_child(argv, timeout_s, tag):
                 if proc.poll() is not None:
                     break
                 continue
-            chunk = proc.stdout.readline()
-            if chunk == "":
+            try:
+                chunk = os.read(fd, 65536)
+            except BlockingIOError:
+                continue
+            if chunk == b"":
                 break
-            buf = chunk.strip()
-            if buf.startswith("{"):
-                try:
-                    lines.append(json.loads(buf))
-                except json.JSONDecodeError:
-                    pass
+            pending += chunk
+            if b"\n" in pending:
+                done, pending = pending.rsplit(b"\n", 1)
+                _absorb_text(done)
     finally:
         sel.close()
         try:
             proc.kill()
         except Exception:
             pass
+        # drain anything flushed but unread at kill/exit time
+        try:
+            while True:
+                chunk = os.read(fd, 65536)
+                if not chunk:
+                    break
+                pending += chunk
+        except (BlockingIOError, OSError):
+            pass
+        _absorb_text(pending)
         proc.wait()
+        if errlog is not subprocess.DEVNULL:
+            try:
+                errlog.close()
+            except Exception:
+                pass
     return lines
 
 
@@ -369,7 +406,9 @@ def main():
         audio_seconds = F / 80.0  # 80 codec frames per second
         if best_key is not None:
             tps = float(extras[best_key])
-            best_wall = total_tokens / tps
+            # prefer the child's exact measured wall over re-deriving it
+            # from the 1-decimal-rounded throughput
+            best_wall = walls.get(best_key, total_tokens / tps)
             decode_path = {"megakernel_tokens_per_sec_b1": "megakernel",
                            "bf16_tokens_per_sec_b1": "bf16_step_scan",
                            "int8_tokens_per_sec_b1": "int8_step_scan"}[best_key]

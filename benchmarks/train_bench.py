@@ -27,6 +27,9 @@ def main():
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()  # the train-step compile is the most expensive
     from mamba_tts_tpu import config as cl
     from mamba_tts_tpu.models.tts import MambaTTS
     from mamba_tts_tpu.train import state as state_lib

@@ -392,7 +392,7 @@ class Synthesizer:
         if frames is None:
             frames = self.predict_frames(phoneme_ids, text_mask)
         # Static-shape buckets for the decode scan (bounded recompiles).
-        frames = int(min(-(-frames // 64) * 64, self.cfg.codec.max_seq_len))
+        frames = self._bucket(frames)
 
         run = self._decode_fn(frames, temperature)
         tokens = run(
@@ -478,7 +478,9 @@ class Synthesizer:
         utterances group by their OWN 64-frame duration bucket and each group
         decodes at its own budget (VERDICT r2 #7) — short utterances stop
         paying for the batch's longest one; returns a LIST of per-utterance
-        waveforms trimmed to their predicted frames.  Bucket shapes are
+        waveforms trimmed to their predicted frames.  With an explicit
+        ``frames`` budget, all rows decode at that one bucket but the list
+        contract and per-utterance trimming (capped at ``frames``) hold.  Bucket shapes are
         64-multiples capped at max_seq_len, so at most 16 decode shapes
         compile over a server's lifetime.
 
@@ -503,9 +505,16 @@ class Synthesizer:
             jnp.asarray(voice_codec),
         )
 
-        if variable_length and frames is None:
+        if variable_length:
             per_utt = self.predict_frames_per_utterance(phoneme_ids, text_mask)
-            buckets = np.array([self._bucket(f) for f in per_utt])
+            if frames is not None:
+                # explicit budget: decode at ONE fixed bucket, but keep the
+                # documented list-of-trimmed-waveforms contract (each row
+                # trimmed to its own predicted duration, capped at frames)
+                per_utt = np.minimum(per_utt, int(frames))
+                buckets = np.full(B, self._bucket(frames))
+            else:
+                buckets = np.array([self._bucket(f) for f in per_utt])
             wavs: list = [None] * B
             total_tokens = 0
             keys = jax.random.split(jax.random.PRNGKey(seed), B)

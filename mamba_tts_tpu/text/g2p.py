@@ -265,11 +265,17 @@ class _Morphology:
         ``depth`` bounds recursive stem resolution (prefix+suffix combos)."""
         n = len(word)
         # --- possessives -------------------------------------------------
-        if word.endswith("'s") or word.endswith("s'"):
-            base = self._base(word[:-2] if word.endswith("'s") else word[:-1],
-                              depth)
+        if word.endswith("'s"):
+            base = self._base(word[:-2], depth)
             if base:
                 return inflect_s(base)
+        if word.endswith("s'") and n > 2:
+            # plural possessive sounds exactly like the plural ("dogs'" ==
+            # "dogs") — the base is ALREADY inflected; adding inflect_s
+            # again would speak a spurious extra syllable ("dog-zez").
+            base = self._base(word[:-1], depth)
+            if base:
+                return list(base)
         # --- inflectional -s / -es / -ies --------------------------------
         if word.endswith("ies") and n > 4:
             base = self._base(word[:-3] + "y", depth)
@@ -479,9 +485,11 @@ def pos_lite(words: Sequence[str], i: int, default_is_verb: bool) -> bool:
         if prev.endswith("ly") and prev not in ("only", "early", "family"):
             return True  # adverb directly before -> verb ("slowly close it")
     if nxt is not None and nxt in _OBJECT_CUES:
-        return True  # governs an object -> verb
-    if prev is None and nxt is not None and not nxt in (".", ",", "!", "?"):
-        return True  # sentence-initial imperative ("Close the door")
+        # governs an object -> verb; also carries sentence-initial
+        # imperatives ("Close the door").  A BARE next word at sentence
+        # start stays on the default: "Record rainfall hit the city" and
+        # "Desert winds are strong" open with noun/adjective homographs.
+        return True
     return default_is_verb
 
 

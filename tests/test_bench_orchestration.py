@@ -37,12 +37,12 @@ def test_run_child_deadline_keeps_partial_output():
     code = (
         "import json, time\n"
         "print(json.dumps({'k': 'early', 'v': 1}), flush=True)\n"
-        "time.sleep(60)\n"
+        "time.sleep(300)\n"
         "print(json.dumps({'k': 'late', 'v': 2}), flush=True)\n"
     )
     t0 = time.monotonic()
     lines = bench._run_child([sys.executable, "-c", code], 3.0, "t_slow")
-    assert time.monotonic() - t0 < 30  # killed at the deadline, not at 60 s
+    assert time.monotonic() - t0 < 120  # killed at the deadline, not 300 s
     assert [d["k"] for d in lines] == ["early"]
 
 
@@ -77,3 +77,20 @@ def test_headline_json_contract(capsys):
     assert d["value"] == 28000.0
     assert d["unit"] == "tokens/s"
     assert d["vs_baseline"] == 5.6
+
+
+def test_run_child_two_flushed_lines_then_hang():
+    """Two JSON lines flushed in ONE write, then the child hangs: both must
+    be collected even though the deadline kills the child (regression for
+    the buffered-readline strand: the second line sat in the TextIOWrapper
+    buffer and was discarded on kill)."""
+    bench = _load_bench()
+    code = (
+        "import sys, time, json\n"
+        "sys.stdout.write(json.dumps({'k': 'x', 'v': 1}) + '\\n'\n"
+        "                 + json.dumps({'k': 'y', 'v': 2}) + '\\n')\n"
+        "sys.stdout.flush()\n"
+        "time.sleep(60)\n"
+    )
+    lines = bench._run_child([sys.executable, "-c", code], 3.0, "t_two")
+    assert [d["k"] for d in lines] == ["x", "y"]

@@ -274,3 +274,31 @@ def test_lexicon_entries_in_vocab():
         if any(p not in vocab for p in pron)
     }
     assert not bad, bad
+
+
+def test_plural_possessive_no_extra_syllable():
+    """"dogs'" sounds exactly like "dogs" — the plural possessive adds no
+    phoneme (regression: lookup() double-applied inflect_s, "dog-zez").
+    The production normalizer strips apostrophes before G2P, so this only
+    reaches the morphology API directly — but that API must still be right
+    for cmudict-style callers."""
+    g2p = EnG2p()
+    dogs = g2p.morph.lookup("dogs")
+    assert dogs is not None
+    assert g2p.morph.lookup("dogs'") == dogs
+    assert g2p.morph.lookup("teachers'") == g2p.morph.lookup("teachers")
+    # singular possessive still inflects
+    assert g2p.morph.lookup("dog's") == dogs
+
+
+@pytest.mark.parametrize("text,word,want_verb", [
+    ("record rainfall hit the city", "record", False),
+    ("desert winds are strong", "desert", False),
+    ("record the meeting", "record", True),  # imperative w/ determiner
+])
+def test_sentence_initial_homograph_not_forced_verb(text, word, want_verb):
+    from mamba_tts_tpu.text.g2p import pos_lite
+
+    words = text.split()
+    i = words.index(word)
+    assert pos_lite(words, i, default_is_verb=False) == want_verb
