@@ -321,3 +321,42 @@ def test_register_voice_and_dedupe():
             synth._encode_voice(["/nonexistent/bob.wav"])
     finally:
         synth.tokenizer.encode_with_lengths = real
+
+
+def test_variable_length_with_explicit_frames_keeps_list_contract(monkeypatch):
+    """variable_length=True with an explicit frames budget still returns a
+    LIST of per-utterance waveforms trimmed to predicted durations (capped
+    at frames), decoding at the one given bucket (regression: the flag was
+    silently ignored and a stacked array returned)."""
+    from mamba_tts_tpu.infer.synthesize import Synthesizer, load_synthesizer
+
+    cfg = cl.from_json(open("tests/smoke_config.json").read())
+    synth = load_synthesizer(cfg)
+    sr = cfg.codec.sample_rate
+    t = np.arange(3200) / sr
+    voice = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    monkeypatch.setattr(
+        synth, "predict_frames_per_utterance",
+        lambda ids, mask: np.array([8, 200], np.int64),
+    )
+    decoded_budgets = []
+    orig = Synthesizer._decode_rows
+
+    def spy(self, arrays, frames, temperature, rng):
+        decoded_budgets.append((int(arrays[0].shape[0]), frames))
+        return orig(self, arrays, frames, temperature, rng)
+
+    monkeypatch.setattr(Synthesizer, "_decode_rows", spy)
+
+    wavs, info = synth.synthesize_batch(
+        ["hi", "a much longer sentence to speak"],
+        ["calm", "fast"], [voice, voice],
+        frames=64, variable_length=True,
+    )
+    assert decoded_budgets == [(2, 64)]  # one fixed bucket for both rows
+    assert isinstance(wavs, list) and len(wavs) == 2
+    hop = synth.tokenizer.hop
+    assert len(wavs[0]) == 8 * hop     # trimmed to predicted
+    assert len(wavs[1]) == 64 * hop    # capped at the explicit budget
+    assert info["frames"] == [8, 64]
