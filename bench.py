@@ -479,10 +479,16 @@ def main():
     )
     lines = _run_child([py, "-c", probe], min(240.0, remaining()), "probe")
     if not any(d.get("k") == "probe_ok" for d in lines):
+        # The tunnel may be down — or the compile service merely slow.  Try
+        # the headline child once with a bounded deadline before giving up:
+        # a dead backend costs this bound and still reports in time, a slow
+        # one can still land the headline.
         extras["backend_unhealthy"] = (
             "trivial jit did not complete in 240 s - TPU tunnel or "
-            "remote-compile service down"
+            "remote-compile service down or very slow"
         )
+        t = max(60.0, min(600.0, remaining() - 120.0))
+        absorb(_run_child([py, me, "--megakernel-child"], t, "mega"))
         signal.alarm(0)
         _finalize()
         return
