@@ -77,11 +77,25 @@ def main():
     ls = jax.device_get(run_n(params, opt))
     loss = float(ls[-1])
     dt = (time.perf_counter() - t0) / args.steps
+    # Coarse matmul-FLOPs estimate for MFU accounting (bench meta): 6·N·T
+    # (fwd 2·N·T + bwd 4·N·T) over the decoded target tokens, plus the
+    # quadratic attention terms over the [ref‖text] memory.  Embedding and
+    # frozen-BERT params are included in N (small at this scale); treat the
+    # resulting MFU as ±20% indicative, not exact.
+    n_params = sum(int(p.size) for p in jax.tree.leaves(params))
+    tokens_per_step = B * St * Q
+    t_mem = Sv * Q + L
+    attn_flops = (
+        cfg.decoder.n_layers * 4 * cfg.decoder.d_model * t_mem
+        * tokens_per_step * 3  # fwd + bwd
+    )
+    train_flops_per_step = 6 * n_params * tokens_per_step + attn_flops
     print(
         json.dumps(
             {
                 "ms_per_step": round(dt * 1e3, 1),
                 "train_tokens_per_sec": round(B * St * Q / dt, 1),
+                "train_flops_per_step": train_flops_per_step,
                 "loss": round(loss, 3),
                 "pallas": not args.no_pallas,
                 "batch": B,
