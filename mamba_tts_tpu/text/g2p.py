@@ -696,6 +696,18 @@ class EnG2p:
         return n
 
     def predict(self, word: str) -> List[str]:
+        """OOV letter-to-sound: the trained joint-sequence graphone n-gram
+        (text/lts.py, 61% held-out exact vs 34% for the rules) when its
+        alignment artifact is bundled; the deterministic rule LTS otherwise.
+        Reference role: g2p_en's neural predict
+        (data_utils/text_processor.py:95-114)."""
+        from .lts import default_model
+
+        model = default_model()
+        if model is not None:
+            pron = model.predict(word)
+            if pron:
+                return pron
         return rule_g2p(word)
 
     @property
