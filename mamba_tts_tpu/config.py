@@ -72,6 +72,14 @@ class DecoderConfig:
     scan_chunk: int = 64  # time-chunk for the chunked selective scan
     use_pallas: bool = True  # Pallas scan on TPU (falls back to XLA off-TPU)
     remat: bool = False  # jax.checkpoint each decoder layer (activation memory)
+    # Sequence/context parallelism: shard the selective scan's TIME axis over
+    # mesh axis ``sp_axis`` (parallel/sp_scan.py — the SSM analogue of ring
+    # attention).  Requires passing the Mesh when constructing the model
+    # (``MambaTTS(cfg, sp_mesh=mesh)``); the flattened token length must
+    # divide by the axis size.  Training-path only: decode steps and
+    # state-carrying calls use the regular scan.
+    use_sp_scan: bool = False
+    sp_axis: str = "data"
 
     pad_id: int = 0
     bos_id: int = 1
@@ -150,6 +158,12 @@ class StyleEncoderConfig:
     type_vocab_size: int = 2
     max_length: int = 128  # tokenizer truncation (reference: smsd.py:70-76)
     dtype: str = "float32"
+    # Path to a real BERT vocab.txt (30,522 lines).  Without one the
+    # WordPiece tokenizer falls back to a deterministic hash vocabulary and
+    # warns loudly (text/wordpiece.py) — fine for tests/smoke, wrong for
+    # training on real data.  Surfaced as --bert_vocab on the train and
+    # synthesize CLIs.
+    bert_vocab: Optional[str] = None
 
 
 @dataclass(frozen=True)

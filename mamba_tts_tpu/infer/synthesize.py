@@ -633,6 +633,10 @@ def main(argv=None):
     parser.add_argument("--dp_serving", action="store_true",
                         help="shard batch rows over all devices on a "
                              "jax.sharding Mesh (data axis) via shard_map")
+    parser.add_argument("--bert_vocab", type=str, default=None,
+                        help="path to a real BERT vocab.txt for the style-"
+                             "text encoder; without it the WordPiece "
+                             "tokenizer uses a hash vocabulary (warns)")
     args = parser.parse_args(argv)
     if args.text is None and not args.texts_file:
         parser.error("one of --text or --texts_file is required")
@@ -644,6 +648,8 @@ def main(argv=None):
         if args.config_json
         else TTSConfig()
     )
+    if args.bert_vocab:
+        cfg = config_lib.override(cfg, "style_encoder.bert_vocab", args.bert_vocab)
     ckpts = (
         (args.facodec_encoder_ckpt, args.facodec_decoder_ckpt)
         if args.facodec_encoder_ckpt else None

@@ -40,6 +40,7 @@ from mamba_tts_tpu.models.mamba import MambaBlock, MambaState, init_mamba_state
 
 class DecoderLayer(nn.Module):
     cfg: DecoderConfig
+    sp_mesh: Optional[object] = None  # jax.sharding.Mesh (cfg.use_sp_scan)
 
     def setup(self):
         c = self.cfg
@@ -47,7 +48,9 @@ class DecoderLayer(nn.Module):
         mcfg = c.with_mamba_dims().mamba
         self.norm_mamba = nn.LayerNorm(dtype=dt, name="norm_mamba")
         self.mamba = MambaBlock(
-            mcfg, dtype=dt, scan_chunk=c.scan_chunk, use_pallas=c.use_pallas, name="mamba"
+            mcfg, dtype=dt, scan_chunk=c.scan_chunk, use_pallas=c.use_pallas,
+            sp_mesh=self.sp_mesh if c.use_sp_scan else None, sp_axis=c.sp_axis,
+            name="mamba",
         )
         self.norm_cross = nn.LayerNorm(dtype=dt, name="norm_cross")
         self.cross_attn = CrossAttention(c.d_model, c.n_heads, dtype=dt, name="cross_attn")
@@ -120,9 +123,16 @@ class MambaTTSDecoder(nn.Module):
     """
 
     cfg: DecoderConfig
+    sp_mesh: Optional[object] = None  # jax.sharding.Mesh (cfg.use_sp_scan)
 
     def setup(self):
         c = self.cfg
+        if c.use_sp_scan and self.sp_mesh is None:
+            raise ValueError(
+                "DecoderConfig.use_sp_scan=True requires constructing the "
+                "model with the mesh: MambaTTSDecoder(cfg, sp_mesh=mesh) / "
+                "MambaTTS(cfg, sp_mesh=mesh)"
+            )
         dt = jnp.dtype(c.dtype)
         self.token_embed = nn.Embed(c.vocab_size_audio, c.d_model, dtype=dt, name="token_embed")
         self.pos_embed = nn.Embed(c.max_len, c.d_model, dtype=dt, name="pos_embed")
@@ -131,7 +141,10 @@ class MambaTTSDecoder(nn.Module):
         # the teacher-forcing backward (decode paths call .step and are
         # unaffected).
         layer_cls = nn.remat(DecoderLayer) if c.remat else DecoderLayer
-        self.layers = [layer_cls(c, name=f"layer_{i}") for i in range(c.n_layers)]
+        self.layers = [
+            layer_cls(c, sp_mesh=self.sp_mesh, name=f"layer_{i}")
+            for i in range(c.n_layers)
+        ]
         self.norm_out = nn.LayerNorm(dtype=dt, name="norm_out")
         self.head = nn.Dense(c.vocab_size_audio, dtype=jnp.float32, name="head")
 

@@ -50,10 +50,18 @@ def _softplus_inverse(x):
 
 
 class MambaBlock(nn.Module):
+    """``sp_mesh``/``sp_axis`` turn on sequence (context) parallelism: the
+    full-sequence scan shards its TIME axis over ``sp_mesh[sp_axis]`` via
+    ``parallel.sp_scan.sp_selective_scan`` (exact chunk-boundary state
+    handoff over ICI).  Training-path only — ``step`` and calls carrying an
+    incoming state use the regular scan."""
+
     cfg: MambaConfig
     dtype: jnp.dtype = jnp.bfloat16
     scan_chunk: int = 64
     use_pallas: bool = False
+    sp_mesh: Optional[object] = None  # jax.sharding.Mesh
+    sp_axis: str = "data"
 
     def setup(self):
         c = self.cfg
@@ -148,10 +156,18 @@ class MambaBlock(nn.Module):
         x_conv = nn.silu(x_conv)
         dt, Bm, Cm = self._ssm_inputs(x_conv)
         A = -jnp.exp(self.A_log)
-        y, ssm_state = selective_scan(
-            x_conv, dt, A, Bm, Cm, self.D,
-            h0=h0, chunk=self.scan_chunk, use_pallas=self.use_pallas,
-        )
+        if self.sp_mesh is not None and h0 is None:
+            from mamba_tts_tpu.parallel.sp_scan import sp_selective_scan
+
+            y, ssm_state = sp_selective_scan(
+                x_conv, dt, A, Bm, Cm, self.D,
+                mesh=self.sp_mesh, axis=self.sp_axis, chunk=self.scan_chunk,
+            )
+        else:
+            y, ssm_state = selective_scan(
+                x_conv, dt, A, Bm, Cm, self.D,
+                h0=h0, chunk=self.scan_chunk, use_pallas=self.use_pallas,
+            )
         y = y * nn.silu(z)
         out = self.out_proj(y)
         return out, MambaState(conv=conv_state, ssm=ssm_state)

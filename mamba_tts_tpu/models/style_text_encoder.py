@@ -148,6 +148,8 @@ class StyleTextEncoder:
         self.cfg = cfg or StyleEncoderConfig()
         # Tokenized length can never exceed the position table.
         self.max_length = min(self.cfg.max_length, self.cfg.max_position)
+        if vocab_path is None:
+            vocab_path = self.cfg.bert_vocab  # --bert_vocab CLI flag
         self.tokenizer = BertTokenizer(vocab_path, vocab_size=self.cfg.vocab_size)
         self.module = BertEncoder(self.cfg)
         if checkpoint is not None:

@@ -56,7 +56,13 @@ def codec_ce_loss(logits: jax.Array, targets: jax.Array, pad_id: int = 0) -> jax
 
 
 class MambaTTS(nn.Module):
+    """``sp_mesh`` (with ``cfg.decoder.use_sp_scan``) turns on sequence
+    parallelism for the decoder's selective scans — long-context training
+    with the flattened token axis sharded over ``mesh[cfg.decoder.sp_axis]``
+    (SURVEY §2.3 SP row / §5 long-context)."""
+
     cfg: TTSConfig
+    sp_mesh: Optional[object] = None  # jax.sharding.Mesh
 
     def setup(self):
         c = self.cfg
@@ -64,7 +70,9 @@ class MambaTTS(nn.Module):
         self.dur_predictor = DurationPredictor(c.duration, name="dur_predictor")
         self.smsd = SMSD(c.smsd, name="smsd")
         self.style_pipe = StyleConditioningPipeline(c.style, name="style_pipe")
-        self.decoder = MambaTTSDecoder(c.decoder.with_mamba_dims(), name="decoder")
+        self.decoder = MambaTTSDecoder(
+            c.decoder.with_mamba_dims(), sp_mesh=self.sp_mesh, name="decoder"
+        )
 
     # ------------------------------------------------------------- training
 

@@ -30,8 +30,8 @@ from mamba_tts_tpu.models.tts import MambaTTS
 from mamba_tts_tpu.train import state as state_lib
 
 
-def build_model(cfg: TTSConfig) -> MambaTTS:
-    return MambaTTS(cfg)
+def build_model(cfg: TTSConfig, sp_mesh=None) -> MambaTTS:
+    return MambaTTS(cfg, sp_mesh=sp_mesh)
 
 
 def init_params(model: MambaTTS, cfg: TTSConfig, rng: jax.Array):
@@ -121,6 +121,10 @@ def main(argv: Optional[list] = None):
                              "(data/preprocess.py output) — no G2P/BERT/codec "
                              "work in the loop")
     parser.add_argument("--config_json", type=str, default=None)
+    parser.add_argument("--bert_vocab", type=str, default=None,
+                        help="path to a real BERT vocab.txt for the style-"
+                             "text encoder; without it the WordPiece "
+                             "tokenizer uses a hash vocabulary (warns)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="mesh shape as 'data,model', e.g. '4,2'")
     parser.add_argument("--seed", type=int, default=0)
@@ -147,6 +151,17 @@ def main(argv: Optional[list] = None):
     cfg = config_lib.override(cfg, "train.w_codec", args.w_codec)
     cfg = config_lib.override(cfg, "train.w_dur", args.w_dur)
     cfg = config_lib.override(cfg, "train.w_smsd", args.w_smsd)
+    if args.bert_vocab:
+        cfg = config_lib.override(cfg, "style_encoder.bert_vocab", args.bert_vocab)
+
+    # Mesh first: the model needs it at construction when the config asks for
+    # sequence-parallel scans (decoder.use_sp_scan).
+    mesh = None
+    if args.mesh:
+        from mamba_tts_tpu.parallel.mesh import make_mesh
+
+        shape = tuple(int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(shape, ("data", "model"))
 
     # Data: either the online path (raw CSV + tar, front-ends in the loop)
     # or the offline-preprocessed path (ready tensors).
@@ -200,7 +215,7 @@ def main(argv: Optional[list] = None):
                     yield preparer(inputs, target_wav)
 
     # Model + optimizer.
-    model = build_model(cfg)
+    model = build_model(cfg, sp_mesh=mesh if cfg.decoder.use_sp_scan else None)
     rng = jax.random.PRNGKey(args.seed)
     params = init_params(model, cfg, rng)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -217,13 +232,10 @@ def main(argv: Optional[list] = None):
         train_state, restored = state_lib.restore_checkpoint(args.checkpoint_dir, train_state)
         print(f"resume: {'restored step ' + str(train_state.step) if restored else 'no checkpoint found'}")
 
-    # Optional mesh sharding.
-    mesh = None
-    if args.mesh:
-        from mamba_tts_tpu.parallel.mesh import make_mesh, param_shardings, shard_batch
+    # Optional mesh sharding of params/batches.
+    if mesh is not None:
+        from mamba_tts_tpu.parallel.mesh import param_shardings, shard_batch
 
-        shape = tuple(int(x) for x in args.mesh.split(","))
-        mesh = make_mesh(shape, ("data", "model"))
         shardings = param_shardings(train_state.params, mesh)
         train_state = train_state.replace(
             params=jax.tree.map(jax.device_put, train_state.params, shardings)
