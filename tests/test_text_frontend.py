@@ -42,6 +42,19 @@ def test_preprocess_text_chain():
     assert preprocess_text("i.e. thus").startswith("that is")
 
 
+def test_preprocess_abbreviations_and_slashes():
+    # Deliberate quality deviations from the reference chain: spoken title
+    # abbreviations, and '/' separating its operands instead of mushing them.
+    assert preprocess_text("Dr. Smith met Mr. Jones").startswith(
+        "doctor smith met mister jones"
+    )
+    assert preprocess_text("Mrs. Lee vs. Ms. Kim") == "missus lee versus miss kim"
+    out = preprocess_text("on 3/14/2026")
+    assert out == "on three fourteen twenty twenty six"
+    # words that merely start with an abbreviation are untouched
+    assert preprocess_text("drill msgs").strip() == "drill msgs"
+
+
 def test_is_sil_phoneme():
     assert is_sil_phoneme("")
     assert is_sil_phoneme("|")
