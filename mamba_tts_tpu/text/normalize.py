@@ -62,19 +62,51 @@ def ordinal_to_words(n: int) -> str:
     return (head + " " + last).strip()
 
 
-def _expand_dollars(m: re.Match) -> str:
-    amount = m.group(1).replace(",", "")
-    if "." in amount:
-        d, c = amount.split(".", 1)
-        d, c = int(d or 0), int((c + "0")[:2])
-        parts = []
-        if d:
-            parts.append(number_to_words(d) + (" dollar" if d == 1 else " dollars"))
-        if c:
-            parts.append(number_to_words(c) + (" cent" if c == 1 else " cents"))
-        return " ".join(parts) or "zero dollars"
-    d = int(amount)
-    return number_to_words(d) + (" dollar" if d == 1 else " dollars")
+def _expand_currency(unit: str, units: str, sub: str, subs: str):
+    """Builds an expander for a currency: $12.50 -> twelve dollars fifty
+    cents.  The reference's chain only handles ``$`` (g2p_en expand role);
+    pounds/euros are a documented quality extension."""
+    def expand(m: re.Match) -> str:
+        amount = m.group(1).replace(",", "")
+        if "." in amount:
+            d, c = amount.split(".", 1)
+            d, c = int(d or 0), int((c + "0")[:2])
+            parts = []
+            if d:
+                parts.append(number_to_words(d) + " " + (unit if d == 1 else units))
+            if c:
+                parts.append(number_to_words(c) + " " + (sub if c == 1 else subs))
+            return " ".join(parts) or "zero " + units
+        d = int(amount)
+        return number_to_words(d) + " " + (unit if d == 1 else units)
+    return expand
+
+
+_expand_dollars = _expand_currency("dollar", "dollars", "cent", "cents")
+_expand_pounds = _expand_currency("pound", "pounds", "penny", "pence")
+_expand_euros = _expand_currency("euro", "euros", "cent", "cents")
+
+
+def _expand_time(m: re.Match) -> str:
+    """Clock times: 5:30 -> five thirty, 5:00 -> five o'clock,
+    5:05 -> five oh five.  (The reference leaves the colon, which the
+    punctuation pass then reads as a pause.)"""
+    h, mi = int(m.group(1)), int(m.group(2))
+    if mi == 0:
+        return f"{number_to_words(h)} o'clock"
+    if mi < 10:
+        return f"{number_to_words(h)} oh {_UNITS[mi]}"
+    return f"{number_to_words(h)} {number_to_words(mi)}"
+
+
+def _expand_decade(m: re.Match) -> str:
+    """Decades: 1960s -> nineteen sixties, 90s -> nineties,
+    1900s -> nineteen hundreds."""
+    n = int(m.group(1) + "0")
+    words = _expand_year(n) if n >= 1000 else number_to_words(n)
+    head, _, last = words.rpartition(" ")
+    last = last[:-1] + "ies" if last.endswith("y") else last + "s"
+    return (head + " " + last).strip()
 
 
 def _expand_decimal(m: re.Match) -> str:
@@ -106,10 +138,15 @@ def _expand_cardinal(m: re.Match) -> str:
 
 
 def normalize_numbers(text: str) -> str:
+    text = re.sub(r"\b([0-9]{1,2}):([0-5][0-9])\b", _expand_time, text)
     text = re.sub(r"\$([0-9,]*\.?[0-9]+)", _expand_dollars, text)
+    text = re.sub(r"£([0-9,]*\.?[0-9]+)", _expand_pounds, text)
+    text = re.sub(r"€([0-9,]*\.?[0-9]+)", _expand_euros, text)
+    text = re.sub(r"\b([0-9]{1,3})0s\b", _expand_decade, text)
     text = re.sub(r"\b([0-9]+)\.([0-9]+)\b", _expand_decimal, text)
     text = re.sub(r"\b([0-9,]*[0-9])(st|nd|rd|th)\b", lambda m: ordinal_to_words(int(m.group(1).replace(",", ""))), text)
     text = re.sub(r"[0-9][0-9,]*", _expand_cardinal, text)
+    text = re.sub(r"%", " percent ", text)
     return text
 
 

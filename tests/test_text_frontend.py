@@ -42,6 +42,30 @@ def test_preprocess_text_chain():
     assert preprocess_text("i.e. thus").startswith("that is")
 
 
+def test_preprocess_times_percent_decades_currency():
+    # clock times (the reference leaves the colon as a pause)
+    assert preprocess_text("At 5:30 we eat.") == "at five thirty we eat . "
+    assert preprocess_text("At 5:00 sharp.") == "at five oclock sharp . "
+    assert preprocess_text("At 5:05 maybe.") == "at five oh five maybe . "
+    # percent (the reference's charset filter silently drops '%')
+    assert preprocess_text("About 50% done.") == "about fifty percent done . "
+    assert (
+        preprocess_text("It is 3.5% now.")
+        == "it is three point five percent now . "
+    )
+    # decades
+    assert preprocess_text("The 1960s!") == "the nineteen sixties ! "
+    assert preprocess_text("the 90s") == "the nineties"
+    assert preprocess_text("the 1900s") == "the nineteen hundreds"
+    # non-dollar currencies
+    assert preprocess_text("£20 or €30.") == "twenty pounds or thirty euros . "
+    assert (
+        preprocess_text("It costs £12.50.")
+        == "it costs twelve pounds fifty pence . "
+    )
+    assert preprocess_text("€1 only.") == "one euro only . "
+
+
 def test_preprocess_abbreviations_and_slashes():
     # Deliberate quality deviations from the reference chain: spoken title
     # abbreviations, and '/' separating its operands instead of mushing them.
