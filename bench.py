@@ -85,11 +85,17 @@ def _decode_flops_per_token(cfg, t_mem):
     return cfg.n_layers * per_layer + 2 * d * cfg.vocab_size_audio
 
 
+def _milestone_lower_is_better(k):
+    """RTF-style milestones improve downward; throughputs improve upward."""
+    return "rtf" in str(k)
+
+
 def _persist_milestone(d):
     """Write a completed numeric milestone to .bench_milestones/<k>.json,
-    keeping the best value per key.  A later bench run reports these as
-    best-known-good (and falls back to a persisted megakernel headline when
-    the backend is down at run time — with explicit provenance)."""
+    keeping the best value per key (max for throughputs, min for RTFs).  A
+    later bench run reports these as best-known-good (and falls back to a
+    persisted megakernel headline when the backend is down at run time —
+    with explicit provenance)."""
     try:
         if not isinstance(d.get("v"), (int, float)) and d.get("k") != "meta":
             return
@@ -97,7 +103,9 @@ def _persist_milestone(d):
         path = _MILESTONE_DIR / f"{d['k']}.json"
         if d.get("k") != "meta" and path.exists():
             try:
-                if json.loads(path.read_text()).get("v", 0) >= d["v"]:
+                old = json.loads(path.read_text()).get("v", 0)
+                if (old <= d["v"]) if _milestone_lower_is_better(d["k"]) \
+                        else (old >= d["v"]):
                     return
             except Exception:
                 pass
@@ -739,10 +747,17 @@ def main():
         )
         got = [d for d in lines if "e2e_rtf" in d]
         extras["e2e_rtf"] = got[-1]["e2e_rtf"] if got else "error: timeout"
+        if got and got[-1].get("wav_finite", True):
+            _persist_milestone({"k": "e2e_rtf", "v": got[-1]["e2e_rtf"]})
         reg = [d for d in lines if "e2e_rtf_registered_voice" in d]
         if reg:
             extras["e2e_rtf_registered_voice"] = \
                 reg[-1]["e2e_rtf_registered_voice"]
+            if reg[-1].get("wav_finite", True):
+                _persist_milestone({
+                    "k": "e2e_rtf_registered_voice",
+                    "v": reg[-1]["e2e_rtf_registered_voice"],
+                })
     else:
         extras["e2e_rtf"] = "skipped: budget"
 

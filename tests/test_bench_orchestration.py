@@ -124,6 +124,20 @@ def test_persist_milestone_keeps_best(tmp_path):
     assert "measured_at" in got["m"]
 
 
+def test_persist_milestone_rtf_keeps_min(tmp_path, capsys):
+    """RTF milestones improve DOWNWARD: the min survives, not the max."""
+    bench = _bench_with_dir(tmp_path)
+    bench._persist_milestone({"k": "e2e_rtf", "v": 0.030})
+    bench._persist_milestone({"k": "e2e_rtf", "v": 0.021})
+    bench._persist_milestone({"k": "e2e_rtf", "v": 0.027})
+    got = bench._load_milestones()
+    assert got["e2e_rtf"]["v"] == 0.021
+    # ...and it rides the best_known_good block of the final line
+    bench._finalize({"bf16_tokens_per_sec_b1": 6000.0}, {}, 1380, 10.0)
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["extra"]["best_known_good"]["e2e_rtf"]["v"] == 0.021
+
+
 def test_finalize_fresh_headline_with_mfu(tmp_path, capsys):
     bench = _bench_with_dir(tmp_path)
     extras = {
