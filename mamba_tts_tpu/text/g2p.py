@@ -625,6 +625,367 @@ _HOMOGRAPHS = {
     "buffet": (["B", "AH1", "F", "AH0", "T"], ["B", "AH0", "F", "EY1"], False),
     "console": (["K", "AH0", "N", "S", "OW1", "L"],
                 ["K", "AA1", "N", "S", "OW0", "L"], False),
+    # ---- round-5 expansion to ~250 entries (VERDICT r4 #4): inflected
+    # forms of the existing pairs (the POS-lite cues apply unchanged), plus
+    # the remaining high-frequency initial-stress noun / final-stress verb
+    # pairs and -ate/-ment verb/noun vowel alternations from g2p_en's table
+    # (reference: data_utils/text_processor.py:95-102).
+    "records": (["R", "IH0", "K", "AO1", "R", "D", "Z"],
+                ["R", "EH1", "K", "ER0", "D", "Z"], False),
+    "presents": (["P", "R", "IH0", "Z", "EH1", "N", "T", "S"],
+                 ["P", "R", "EH1", "Z", "AH0", "N", "T", "S"], False),
+    "objects": (["AH0", "B", "JH", "EH1", "K", "T", "S"],
+                ["AA1", "B", "JH", "EH0", "K", "T", "S"], False),
+    "subjects": (["S", "AH0", "B", "JH", "EH1", "K", "T", "S"],
+                 ["S", "AH1", "B", "JH", "IH0", "K", "T", "S"], False),
+    "projects": (["P", "R", "AH0", "JH", "EH1", "K", "T", "S"],
+                 ["P", "R", "AA1", "JH", "EH0", "K", "T", "S"], False),
+    "permits": (["P", "ER0", "M", "IH1", "T", "S"],
+                ["P", "ER1", "M", "IH0", "T", "S"], True),
+    "conducts": (["K", "AH0", "N", "D", "AH1", "K", "T", "S"],
+                 ["K", "AA1", "N", "D", "AH0", "K", "T", "S"], False),
+    "contracts": (["K", "AH0", "N", "T", "R", "AE1", "K", "T", "S"],
+                  ["K", "AA1", "N", "T", "R", "AE0", "K", "T", "S"], False),
+    "contents": (["K", "AH0", "N", "T", "EH1", "N", "T", "S"],
+                 ["K", "AA1", "N", "T", "EH0", "N", "T", "S"], False),
+    "deserts": (["D", "IH0", "Z", "ER1", "T", "S"],
+                ["D", "EH1", "Z", "ER0", "T", "S"], False),
+    "increases": (["IH0", "N", "K", "R", "IY1", "S", "IH0", "Z"],
+                  ["IH1", "N", "K", "R", "IY2", "S", "IH0", "Z"], True),
+    "decreases": (["D", "IH0", "K", "R", "IY1", "S", "IH0", "Z"],
+                  ["D", "IH1", "K", "R", "IY2", "S", "IH0", "Z"], True),
+    "insults": (["IH0", "N", "S", "AH1", "L", "T", "S"],
+                ["IH1", "N", "S", "AH2", "L", "T", "S"], True),
+    "progresses": (["P", "R", "AH0", "G", "R", "EH1", "S", "IH0", "Z"],
+                   ["P", "R", "AA1", "G", "R", "EH2", "S", "IH0", "Z"], True),
+    "protests": (["P", "R", "AH0", "T", "EH1", "S", "T", "S"],
+                 ["P", "R", "OW1", "T", "EH2", "S", "T", "S"], False),
+    "surveys": (["S", "ER0", "V", "EY1", "Z"],
+                ["S", "ER1", "V", "EY2", "Z"], False),
+    "addresses": (["AH0", "D", "R", "EH1", "S", "IH0", "Z"],
+                  ["AE1", "D", "R", "EH2", "S", "IH0", "Z"], False),
+    "estimates": (["EH1", "S", "T", "AH0", "M", "EY2", "T", "S"],
+                  ["EH1", "S", "T", "AH0", "M", "AH0", "T", "S"], True),
+    "separates": (["S", "EH1", "P", "ER0", "EY2", "T", "S"],
+                  ["S", "EH1", "P", "ER0", "IH0", "T", "S"], True),
+    "closes": (["K", "L", "OW1", "Z", "IH0", "Z"],
+               ["K", "L", "OW1", "S", "IH0", "Z"], True),
+    "excuses": (["IH0", "K", "S", "K", "Y", "UW1", "Z", "IH0", "Z"],
+                ["IH0", "K", "S", "K", "Y", "UW1", "S", "IH0", "Z"], True),
+    "leads": (["L", "IY1", "D", "Z"], ["L", "EH1", "D", "Z"], True),
+    "advocates": (["AE1", "D", "V", "AH0", "K", "EY2", "T", "S"],
+                  ["AE1", "D", "V", "AH0", "K", "AH0", "T", "S"], False),
+    "alternates": (["AO1", "L", "T", "ER0", "N", "EY2", "T", "S"],
+                   ["AO1", "L", "T", "ER0", "N", "AH0", "T", "S"], False),
+    "associates": (["AH0", "S", "OW1", "S", "IY0", "EY2", "T", "S"],
+                   ["AH0", "S", "OW1", "S", "IY0", "AH0", "T", "S"], False),
+    "attributes": (["AH0", "T", "R", "IH1", "B", "Y", "UW2", "T", "S"],
+                   ["AE1", "T", "R", "AH0", "B", "Y", "UW2", "T", "S"], False),
+    "combines": (["K", "AH0", "M", "B", "AY1", "N", "Z"],
+                 ["K", "AA1", "M", "B", "AY0", "N", "Z"], True),
+    "compacts": (["K", "AH0", "M", "P", "AE1", "K", "T", "S"],
+                 ["K", "AA1", "M", "P", "AE0", "K", "T", "S"], False),
+    "compounds": (["K", "AH0", "M", "P", "AW1", "N", "D", "Z"],
+                  ["K", "AA1", "M", "P", "AW0", "N", "D", "Z"], False),
+    "compresses": (["K", "AH0", "M", "P", "R", "EH1", "S", "IH0", "Z"],
+                   ["K", "AA1", "M", "P", "R", "EH0", "S", "IH0", "Z"], True),
+    "conflicts": (["K", "AH0", "N", "F", "L", "IH1", "K", "T", "S"],
+                  ["K", "AA1", "N", "F", "L", "IH0", "K", "T", "S"], False),
+    "consorts": (["K", "AH0", "N", "S", "AO1", "R", "T", "S"],
+                 ["K", "AA1", "N", "S", "AO0", "R", "T", "S"], False),
+    "constructs": (["K", "AH0", "N", "S", "T", "R", "AH1", "K", "T", "S"],
+                   ["K", "AA1", "N", "S", "T", "R", "AH0", "K", "T", "S"], True),
+    "contests": (["K", "AH0", "N", "T", "EH1", "S", "T", "S"],
+                 ["K", "AA1", "N", "T", "EH0", "S", "T", "S"], False),
+    "contrasts": (["K", "AH0", "N", "T", "R", "AE1", "S", "T", "S"],
+                  ["K", "AA1", "N", "T", "R", "AE0", "S", "T", "S"], False),
+    "converts": (["K", "AH0", "N", "V", "ER1", "T", "S"],
+                 ["K", "AA1", "N", "V", "ER0", "T", "S"], True),
+    "convicts": (["K", "AH0", "N", "V", "IH1", "K", "T", "S"],
+                 ["K", "AA1", "N", "V", "IH0", "K", "T", "S"], True),
+    "coordinates": (["K", "OW0", "AO1", "R", "D", "AH0", "N", "EY2", "T", "S"],
+                    ["K", "OW0", "AO1", "R", "D", "AH0", "N", "AH0", "T", "S"],
+                    True),
+    "defects": (["D", "IH0", "F", "EH1", "K", "T", "S"],
+                ["D", "IY1", "F", "EH0", "K", "T", "S"], False),
+    "delegates": (["D", "EH1", "L", "AH0", "G", "EY2", "T", "S"],
+                  ["D", "EH1", "L", "AH0", "G", "AH0", "T", "S"], False),
+    "discharges": (["D", "IH0", "S", "CH", "AA1", "R", "JH", "IH0", "Z"],
+                   ["D", "IH1", "S", "CH", "AA0", "R", "JH", "IH0", "Z"], True),
+    "discounts": (["D", "IH0", "S", "K", "AW1", "N", "T", "S"],
+                  ["D", "IH1", "S", "K", "AW0", "N", "T", "S"], False),
+    "duplicates": (["D", "UW1", "P", "L", "AH0", "K", "EY2", "T", "S"],
+                   ["D", "UW1", "P", "L", "AH0", "K", "AH0", "T", "S"], False),
+    "entrances": (["EH0", "N", "T", "R", "AE1", "N", "S", "IH0", "Z"],
+                  ["EH1", "N", "T", "R", "AH0", "N", "S", "IH0", "Z"], False),
+    "escorts": (["EH0", "S", "K", "AO1", "R", "T", "S"],
+                ["EH1", "S", "K", "AO0", "R", "T", "S"], False),
+    "exploits": (["EH0", "K", "S", "P", "L", "OY1", "T", "S"],
+                 ["EH1", "K", "S", "P", "L", "OY2", "T", "S"], False),
+    "exports": (["IH0", "K", "S", "P", "AO1", "R", "T", "S"],
+                ["EH1", "K", "S", "P", "AO0", "R", "T", "S"], False),
+    "extracts": (["IH0", "K", "S", "T", "R", "AE1", "K", "T", "S"],
+                 ["EH1", "K", "S", "T", "R", "AE2", "K", "T", "S"], False),
+    "graduates": (["G", "R", "AE1", "JH", "UW0", "EY2", "T", "S"],
+                  ["G", "R", "AE1", "JH", "UW0", "AH0", "T", "S"], False),
+    "implants": (["IH0", "M", "P", "L", "AE1", "N", "T", "S"],
+                 ["IH1", "M", "P", "L", "AE2", "N", "T", "S"], False),
+    "implements": (["IH1", "M", "P", "L", "AH0", "M", "EH2", "N", "T", "S"],
+                   ["IH1", "M", "P", "L", "AH0", "M", "AH0", "N", "T", "S"],
+                   True),
+    "imports": (["IH0", "M", "P", "AO1", "R", "T", "S"],
+                ["IH1", "M", "P", "AO0", "R", "T", "S"], False),
+    "imprints": (["IH0", "M", "P", "R", "IH1", "N", "T", "S"],
+                 ["IH1", "M", "P", "R", "IH0", "N", "T", "S"], False),
+    "inclines": (["IH0", "N", "K", "L", "AY1", "N", "Z"],
+                 ["IH1", "N", "K", "L", "AY0", "N", "Z"], True),
+    "indents": (["IH0", "N", "D", "EH1", "N", "T", "S"],
+                ["IH1", "N", "D", "EH0", "N", "T", "S"], True),
+    "inlays": (["IH0", "N", "L", "EY1", "Z"], ["IH1", "N", "L", "EY2", "Z"],
+               False),
+    "inserts": (["IH0", "N", "S", "ER1", "T", "S"],
+                ["IH1", "N", "S", "ER0", "T", "S"], True),
+    "intimates": (["IH1", "N", "T", "AH0", "M", "EY2", "T", "S"],
+                  ["IH1", "N", "T", "AH0", "M", "AH0", "T", "S"], False),
+    "invites": (["IH0", "N", "V", "AY1", "T", "S"],
+                ["IH1", "N", "V", "AY0", "T", "S"], True),
+    "laminates": (["L", "AE1", "M", "AH0", "N", "EY2", "T", "S"],
+                  ["L", "AE1", "M", "AH0", "N", "AH0", "T", "S"], False),
+    "misuses": (["M", "IH0", "S", "Y", "UW1", "Z", "IH0", "Z"],
+                ["M", "IH0", "S", "Y", "UW1", "S", "IH0", "Z"], True),
+    "moderates": (["M", "AA1", "D", "ER0", "EY2", "T", "S"],
+                  ["M", "AA1", "D", "ER0", "AH0", "T", "S"], False),
+    "overflows": (["OW2", "V", "ER0", "F", "L", "OW1", "Z"],
+                  ["OW1", "V", "ER0", "F", "L", "OW2", "Z"], True),
+    "perverts": (["P", "ER0", "V", "ER1", "T", "S"],
+                 ["P", "ER1", "V", "ER0", "T", "S"], True),
+    "predicates": (["P", "R", "EH1", "D", "AH0", "K", "EY2", "T", "S"],
+                   ["P", "R", "EH1", "D", "AH0", "K", "AH0", "T", "S"], False),
+    "recalls": (["R", "IH0", "K", "AO1", "L", "Z"],
+                ["R", "IY1", "K", "AO0", "L", "Z"], True),
+    "recaps": (["R", "IY0", "K", "AE1", "P", "S"],
+               ["R", "IY1", "K", "AE2", "P", "S"], False),
+    "recounts": (["R", "IH0", "K", "AW1", "N", "T", "S"],
+                 ["R", "IY1", "K", "AW0", "N", "T", "S"], True),
+    "refills": (["R", "IY0", "F", "IH1", "L", "Z"],
+                ["R", "IY1", "F", "IH0", "L", "Z"], True),
+    "refunds": (["R", "IH0", "F", "AH1", "N", "D", "Z"],
+                ["R", "IY1", "F", "AH0", "N", "D", "Z"], False),
+    "rejects": (["R", "IH0", "JH", "EH1", "K", "T", "S"],
+                ["R", "IY1", "JH", "EH0", "K", "T", "S"], True),
+    "relays": (["R", "IY0", "L", "EY1", "Z"], ["R", "IY1", "L", "EY0", "Z"],
+               False),
+    "remakes": (["R", "IY0", "M", "EY1", "K", "S"],
+                ["R", "IY1", "M", "EY2", "K", "S"], True),
+    "reprints": (["R", "IY0", "P", "R", "IH1", "N", "T", "S"],
+                 ["R", "IY1", "P", "R", "IH0", "N", "T", "S"], True),
+    "reruns": (["R", "IY0", "R", "AH1", "N", "Z"],
+               ["R", "IY1", "R", "AH0", "N", "Z"], False),
+    "resumes": (["R", "IH0", "Z", "UW1", "M", "Z"],
+                ["R", "EH1", "Z", "AH0", "M", "EY2", "Z"], True),
+    "retakes": (["R", "IY0", "T", "EY1", "K", "S"],
+                ["R", "IY1", "T", "EY2", "K", "S"], True),
+    "rewrites": (["R", "IY0", "R", "AY1", "T", "S"],
+                 ["R", "IY1", "R", "AY2", "T", "S"], True),
+    "segments": (["S", "EH0", "G", "M", "EH1", "N", "T", "S"],
+                 ["S", "EH1", "G", "M", "AH0", "N", "T", "S"], False),
+    "subordinates": (
+        ["S", "AH0", "B", "AO1", "R", "D", "AH0", "N", "EY2", "T", "S"],
+        ["S", "AH0", "B", "AO1", "R", "D", "AH0", "N", "AH0", "T", "S"],
+        False),
+    "surmises": (["S", "ER0", "M", "AY1", "Z", "IH0", "Z"],
+                 ["S", "ER1", "M", "AY0", "Z", "IH0", "Z"], True),
+    "syndicates": (["S", "IH1", "N", "D", "AH0", "K", "EY2", "T", "S"],
+                   ["S", "IH1", "N", "D", "AH0", "K", "AH0", "T", "S"], False),
+    "transfers": (["T", "R", "AE0", "N", "S", "F", "ER1", "Z"],
+                  ["T", "R", "AE1", "N", "S", "F", "ER0", "Z"], True),
+    "transplants": (["T", "R", "AE0", "N", "S", "P", "L", "AE1", "N", "T", "S"],
+                    ["T", "R", "AE1", "N", "S", "P", "L", "AE2", "N", "T", "S"],
+                    False),
+    "transports": (["T", "R", "AE0", "N", "S", "P", "AO1", "R", "T", "S"],
+                   ["T", "R", "AE1", "N", "S", "P", "AO0", "R", "T", "S"],
+                   True),
+    "updates": (["AH0", "P", "D", "EY1", "T", "S"],
+                ["AH1", "P", "D", "EY2", "T", "S"], True),
+    "upsets": (["AH0", "P", "S", "EH1", "T", "S"],
+               ["AH1", "P", "S", "EH2", "T", "S"], True),
+    # new initial-stress noun / final-stress verb bases
+    "abstract": (["AE0", "B", "S", "T", "R", "AE1", "K", "T"],
+                 ["AE1", "B", "S", "T", "R", "AE2", "K", "T"], False),
+    "abstracts": (["AE0", "B", "S", "T", "R", "AE1", "K", "T", "S"],
+                  ["AE1", "B", "S", "T", "R", "AE2", "K", "T", "S"], False),
+    "accent": (["AH0", "K", "S", "EH1", "N", "T"],
+               ["AE1", "K", "S", "EH2", "N", "T"], False),
+    "accents": (["AH0", "K", "S", "EH1", "N", "T", "S"],
+                ["AE1", "K", "S", "EH2", "N", "T", "S"], False),
+    "addict": (["AH0", "D", "IH1", "K", "T"],
+               ["AE1", "D", "IH2", "K", "T"], False),
+    "addicts": (["AH0", "D", "IH1", "K", "T", "S"],
+                ["AE1", "D", "IH2", "K", "T", "S"], False),
+    "affect": (["AH0", "F", "EH1", "K", "T"],
+               ["AE1", "F", "EH0", "K", "T"], True),
+    "affects": (["AH0", "F", "EH1", "K", "T", "S"],
+                ["AE1", "F", "EH0", "K", "T", "S"], True),
+    "affix": (["AH0", "F", "IH1", "K", "S"],
+              ["AE1", "F", "IH0", "K", "S"], False),
+    "ally": (["AH0", "L", "AY1"], ["AE1", "L", "AY0"], False),
+    "allies": (["AH0", "L", "AY1", "Z"], ["AE1", "L", "AY0", "Z"], False),
+    "annex": (["AH0", "N", "EH1", "K", "S"],
+              ["AE1", "N", "EH2", "K", "S"], False),
+    "combat": (["K", "AH0", "M", "B", "AE1", "T"],
+               ["K", "AA1", "M", "B", "AE0", "T"], False),
+    "combats": (["K", "AH0", "M", "B", "AE1", "T", "S"],
+                ["K", "AA1", "M", "B", "AE0", "T", "S"], False),
+    "commune": (["K", "AH0", "M", "Y", "UW1", "N"],
+                ["K", "AA1", "M", "Y", "UW0", "N"], False),
+    "confines": (["K", "AH0", "N", "F", "AY1", "N", "Z"],
+                 ["K", "AA1", "N", "F", "AY2", "N", "Z"], True),
+    "conscripts": (["K", "AH0", "N", "S", "K", "R", "IH1", "P", "T", "S"],
+                   ["K", "AA1", "N", "S", "K", "R", "IH0", "P", "T", "S"],
+                   False),
+    "decoy": (["D", "IH0", "K", "OY1"], ["D", "IY1", "K", "OY0"], False),
+    "dictate": (["D", "IH0", "K", "T", "EY1", "T"],
+                ["D", "IH1", "K", "T", "EY2", "T"], True),
+    "dictates": (["D", "IH0", "K", "T", "EY1", "T", "S"],
+                 ["D", "IH1", "K", "T", "EY2", "T", "S"], True),
+    "digest": (["D", "AY0", "JH", "EH1", "S", "T"],
+               ["D", "AY1", "JH", "EH0", "S", "T"], True),
+    "digests": (["D", "AY0", "JH", "EH1", "S", "T", "S"],
+                ["D", "AY1", "JH", "EH0", "S", "T", "S"], True),
+    "discard": (["D", "IH0", "S", "K", "AA1", "R", "D"],
+                ["D", "IH1", "S", "K", "AA0", "R", "D"], True),
+    "discards": (["D", "IH0", "S", "K", "AA1", "R", "D", "Z"],
+                 ["D", "IH1", "S", "K", "AA0", "R", "D", "Z"], True),
+    "ferment": (["F", "ER0", "M", "EH1", "N", "T"],
+                ["F", "ER1", "M", "EH0", "N", "T"], True),
+    "ferments": (["F", "ER0", "M", "EH1", "N", "T", "S"],
+                 ["F", "ER1", "M", "EH0", "N", "T", "S"], True),
+    "fragment": (["F", "R", "AE0", "G", "M", "EH1", "N", "T"],
+                 ["F", "R", "AE1", "G", "M", "AH0", "N", "T"], False),
+    "fragments": (["F", "R", "AE0", "G", "M", "EH1", "N", "T", "S"],
+                  ["F", "R", "AE1", "G", "M", "AH0", "N", "T", "S"], False),
+    "frequent": (["F", "R", "IY0", "K", "W", "EH1", "N", "T"],
+                 ["F", "R", "IY1", "K", "W", "AH0", "N", "T"], False),
+    "frequents": (["F", "R", "IY0", "K", "W", "EH1", "N", "T", "S"],
+                  ["F", "R", "IY1", "K", "W", "AH0", "N", "T", "S"], True),
+    "impact": (["IH0", "M", "P", "AE1", "K", "T"],
+               ["IH1", "M", "P", "AE0", "K", "T"], False),
+    "impacts": (["IH0", "M", "P", "AE1", "K", "T", "S"],
+                ["IH1", "M", "P", "AE0", "K", "T", "S"], False),
+    "intrigue": (["IH0", "N", "T", "R", "IY1", "G"],
+                 ["IH1", "N", "T", "R", "IY0", "G"], True),
+    "intrigues": (["IH0", "N", "T", "R", "IY1", "G", "Z"],
+                  ["IH1", "N", "T", "R", "IY0", "G", "Z"], True),
+    "misprint": (["M", "IH0", "S", "P", "R", "IH1", "N", "T"],
+                 ["M", "IH1", "S", "P", "R", "IH0", "N", "T"], False),
+    "offset": (["AO2", "F", "S", "EH1", "T"],
+               ["AO1", "F", "S", "EH2", "T"], True),
+    "offsets": (["AO2", "F", "S", "EH1", "T", "S"],
+                ["AO1", "F", "S", "EH2", "T", "S"], True),
+    "overhaul": (["OW2", "V", "ER0", "HH", "AO1", "L"],
+                 ["OW1", "V", "ER0", "HH", "AO2", "L"], True),
+    "overhauls": (["OW2", "V", "ER0", "HH", "AO1", "L", "Z"],
+                  ["OW1", "V", "ER0", "HH", "AO2", "L", "Z"], True),
+    "overlap": (["OW2", "V", "ER0", "L", "AE1", "P"],
+                ["OW1", "V", "ER0", "L", "AE2", "P"], True),
+    "overlaps": (["OW2", "V", "ER0", "L", "AE1", "P", "S"],
+                 ["OW1", "V", "ER0", "L", "AE2", "P", "S"], True),
+    "override": (["OW2", "V", "ER0", "R", "AY1", "D"],
+                 ["OW1", "V", "ER0", "R", "AY2", "D"], True),
+    "overrides": (["OW2", "V", "ER0", "R", "AY1", "D", "Z"],
+                  ["OW1", "V", "ER0", "R", "AY2", "D", "Z"], True),
+    "overthrow": (["OW2", "V", "ER0", "TH", "R", "OW1"],
+                  ["OW1", "V", "ER0", "TH", "R", "OW2"], True),
+    "perfume": (["P", "ER0", "F", "Y", "UW1", "M"],
+                ["P", "ER1", "F", "Y", "UW0", "M"], False),
+    "perfumes": (["P", "ER0", "F", "Y", "UW1", "M", "Z"],
+                 ["P", "ER1", "F", "Y", "UW0", "M", "Z"], False),
+    "rampage": (["R", "AE0", "M", "P", "EY1", "JH"],
+                ["R", "AE1", "M", "P", "EY2", "JH"], False),
+    "rebound": (["R", "IY0", "B", "AW1", "N", "D"],
+                ["R", "IY1", "B", "AW0", "N", "D"], False),
+    "rebounds": (["R", "IY0", "B", "AW1", "N", "D", "Z"],
+                 ["R", "IY1", "B", "AW0", "N", "D", "Z"], False),
+    "recess": (["R", "IH0", "S", "EH1", "S"],
+               ["R", "IY1", "S", "EH0", "S"], False),
+    "regress": (["R", "IH0", "G", "R", "EH1", "S"],
+                ["R", "IY1", "G", "R", "EH0", "S"], True),
+    "rewind": (["R", "IY0", "W", "AY1", "N", "D"],
+               ["R", "IY1", "W", "AY2", "N", "D"], True),
+    "torment": (["T", "AO0", "R", "M", "EH1", "N", "T"],
+                ["T", "AO1", "R", "M", "EH0", "N", "T"], False),
+    "torments": (["T", "AO0", "R", "M", "EH1", "N", "T", "S"],
+                 ["T", "AO1", "R", "M", "EH0", "N", "T", "S"], False),
+    "uplift": (["AH0", "P", "L", "IH1", "F", "T"],
+               ["AH1", "P", "L", "IH2", "F", "T"], True),
+    "upgrade": (["AH0", "P", "G", "R", "EY1", "D"],
+                ["AH1", "P", "G", "R", "EY2", "D"], True),
+    "upgrades": (["AH0", "P", "G", "R", "EY1", "D", "Z"],
+                 ["AH1", "P", "G", "R", "EY2", "D", "Z"], True),
+    # -ment noun/verb final-vowel alternations (EH2 when verb, AH0 when noun)
+    "document": (["D", "AA1", "K", "Y", "AH0", "M", "EH2", "N", "T"],
+                 ["D", "AA1", "K", "Y", "AH0", "M", "AH0", "N", "T"], False),
+    "documents": (["D", "AA1", "K", "Y", "AH0", "M", "EH2", "N", "T", "S"],
+                  ["D", "AA1", "K", "Y", "AH0", "M", "AH0", "N", "T", "S"],
+                  False),
+    "supplement": (["S", "AH1", "P", "L", "AH0", "M", "EH2", "N", "T"],
+                   ["S", "AH1", "P", "L", "AH0", "M", "AH0", "N", "T"], False),
+    "supplements": (["S", "AH1", "P", "L", "AH0", "M", "EH2", "N", "T", "S"],
+                    ["S", "AH1", "P", "L", "AH0", "M", "AH0", "N", "T", "S"],
+                    False),
+    "compliment": (["K", "AA1", "M", "P", "L", "AH0", "M", "EH2", "N", "T"],
+                   ["K", "AA1", "M", "P", "L", "AH0", "M", "AH0", "N", "T"],
+                   False),
+    "compliments": (["K", "AA1", "M", "P", "L", "AH0", "M", "EH2", "N", "T", "S"],
+                    ["K", "AA1", "M", "P", "L", "AH0", "M", "AH0", "N", "T", "S"],
+                    False),
+    "complement": (["K", "AA1", "M", "P", "L", "AH0", "M", "EH2", "N", "T"],
+                   ["K", "AA1", "M", "P", "L", "AH0", "M", "AH0", "N", "T"],
+                   False),
+    "complements": (["K", "AA1", "M", "P", "L", "AH0", "M", "EH2", "N", "T", "S"],
+                    ["K", "AA1", "M", "P", "L", "AH0", "M", "AH0", "N", "T", "S"],
+                    False),
+    "ornament": (["AO1", "R", "N", "AH0", "M", "EH2", "N", "T"],
+                 ["AO1", "R", "N", "AH0", "M", "AH0", "N", "T"], False),
+    "ornaments": (["AO1", "R", "N", "AH0", "M", "EH2", "N", "T", "S"],
+                  ["AO1", "R", "N", "AH0", "M", "AH0", "N", "T", "S"], False),
+    # -ate verb (EY2T) / noun-adjective (AH0T) alternations
+    "aggregate": (["AE1", "G", "R", "AH0", "G", "EY2", "T"],
+                  ["AE1", "G", "R", "AH0", "G", "AH0", "T"], False),
+    "aggregates": (["AE1", "G", "R", "AH0", "G", "EY2", "T", "S"],
+                   ["AE1", "G", "R", "AH0", "G", "AH0", "T", "S"], False),
+    "appropriate": (["AH0", "P", "R", "OW1", "P", "R", "IY0", "EY2", "T"],
+                    ["AH0", "P", "R", "OW1", "P", "R", "IY0", "AH0", "T"],
+                    False),
+    "animate": (["AE1", "N", "AH0", "M", "EY2", "T"],
+                ["AE1", "N", "AH0", "M", "AH0", "T"], True),
+    "animates": (["AE1", "N", "AH0", "M", "EY2", "T", "S"],
+                 ["AE1", "N", "AH0", "M", "AH0", "T", "S"], True),
+    "conjugate": (["K", "AA1", "N", "JH", "AH0", "G", "EY2", "T"],
+                  ["K", "AA1", "N", "JH", "AH0", "G", "AH0", "T"], True),
+    "degenerate": (["D", "IH0", "JH", "EH1", "N", "ER0", "EY2", "T"],
+                   ["D", "IH0", "JH", "EH1", "N", "ER0", "AH0", "T"], False),
+    "desolate": (["D", "EH1", "S", "AH0", "L", "EY2", "T"],
+                 ["D", "EH1", "S", "AH0", "L", "AH0", "T"], False),
+    "deviate": (["D", "IY1", "V", "IY0", "EY2", "T"],
+                ["D", "IY1", "V", "IY0", "AH0", "T"], True),
+    "elaborate": (["IH0", "L", "AE1", "B", "ER0", "EY2", "T"],
+                  ["IH0", "L", "AE1", "B", "R", "AH0", "T"], False),
+    "elaborates": (["IH0", "L", "AE1", "B", "ER0", "EY2", "T", "S"],
+                   ["IH0", "L", "AE1", "B", "R", "AH0", "T", "S"], True),
+    "initiate": (["IH0", "N", "IH1", "SH", "IY0", "EY2", "T"],
+                 ["IH0", "N", "IH1", "SH", "IY0", "AH0", "T"], True),
+    "initiates": (["IH0", "N", "IH1", "SH", "IY0", "EY2", "T", "S"],
+                  ["IH0", "N", "IH1", "SH", "IY0", "AH0", "T", "S"], True),
+    "legitimate": (["L", "AH0", "JH", "IH1", "T", "AH0", "M", "EY2", "T"],
+                   ["L", "AH0", "JH", "IH1", "T", "AH0", "M", "AH0", "T"],
+                   False),
+    "postulate": (["P", "AA1", "S", "CH", "AH0", "L", "EY2", "T"],
+                  ["P", "AA1", "S", "CH", "AH0", "L", "AH0", "T"], True),
+    "postulates": (["P", "AA1", "S", "CH", "AH0", "L", "EY2", "T", "S"],
+                   ["P", "AA1", "S", "CH", "AH0", "L", "AH0", "T", "S"], True),
+    "triplicate": (["T", "R", "IH1", "P", "L", "AH0", "K", "EY2", "T"],
+                   ["T", "R", "IH1", "P", "L", "AH0", "K", "AH0", "T"], False),
 }
 
 # Tense-sensitive homographs: spelled identically in present and past
@@ -632,7 +993,57 @@ _HOMOGRAPHS = {
 # (present_pron, past_pron); past-ness decided by past_context().
 _TENSE_HOMOGRAPHS = {
     "read": (["R", "IY1", "D"], ["R", "EH1", "D"]),
+    # round-5 additions: the read-family compounds inflect identically
+    "reread": (["R", "IY0", "R", "IY1", "D"], ["R", "IY0", "R", "EH1", "D"]),
+    "misread": (["M", "IH0", "S", "R", "IY1", "D"],
+                ["M", "IH0", "S", "R", "EH1", "D"]),
+    "proofread": (["P", "R", "UW1", "F", "R", "IY2", "D"],
+                  ["P", "R", "UW1", "F", "R", "EH2", "D"]),
 }
+
+# Noun/noun (or noun/adjective) homographs that the verb-vs-other POS-lite
+# axis cannot separate ("bass" fish vs music are both nouns) — disambiguated
+# by nearby context KEYWORDS in the same sentence instead.
+# word -> (default_pron, [(cue word frozenset, pron), ...]); first hit wins.
+_CONTEXT_HOMOGRAPHS = {
+    "bass": (["B", "EY1", "S"], [  # music reading is the TTS-corpus default
+        (frozenset(
+            "fish fishing fisherman fishermen fishery lake lakes river "
+            "rivers pond ponds caught catch catching hooked largemouth "
+            "smallmouth striped trout".split()),
+         ["B", "AE1", "S"]),
+    ]),
+    "minute": (["M", "IH1", "N", "AH0", "T"], [  # unit of time default
+        (frozenset(
+            "detail details particle particles amount amounts quantity "
+            "quantities trace traces fraction fractions difference "
+            "differences variation variations adjustment adjustments "
+            "crack cracks organism organisms".split()),
+         ["M", "AY0", "N", "UW1", "T"]),
+    ]),
+    "august": (["AO1", "G", "AH0", "S", "T"], [  # month default (lowercased)
+        (frozenset(
+            "an most presence figure figures personage assembly body "
+            "institution company gathering".split()),
+         ["AO0", "G", "AH1", "S", "T"]),
+    ]),
+}
+
+
+def _context_pron(words: Sequence[str], i: int, default_pron, cues):
+    """Pick a _CONTEXT_HOMOGRAPHS reading from cue words in the same
+    sentence (window bounded by hard punctuation, like past_context)."""
+    lowered = [w.lower() for w in words]
+    start, end = i, i + 1
+    while start > 0 and lowered[start - 1] not in (".", "!", "?", ";"):
+        start -= 1
+    while end < len(lowered) and lowered[end] not in (".", "!", "?", ";"):
+        end += 1
+    window = set(lowered[start:end])
+    for cue_words, pron in cues:
+        if window & cue_words:
+            return pron
+    return default_pron
 
 # Cues for past_context: perfect/passive auxiliaries directly before the
 # verb, and past-time adverbials anywhere nearby in the sentence.
@@ -960,6 +1371,10 @@ class EnG2p:
             elif lower in _TENSE_HOMOGRAPHS:
                 present, past = _TENSE_HOMOGRAPHS[lower]
                 pron = list(past if past_context(words, i) else present)
+                self.n_lexicon += 1
+            elif lower in _CONTEXT_HOMOGRAPHS:
+                default_pron, cues = _CONTEXT_HOMOGRAPHS[lower]
+                pron = list(_context_pron(words, i, default_pron, cues))
                 self.n_lexicon += 1
             elif lower in _HOMOGRAPHS:
                 verb_pron, other_pron, default = _HOMOGRAPHS[lower]

@@ -239,6 +239,139 @@ def test_homograph_pos_lite(text, word_phones):
     assert word_phones in stream, f"{text!r} -> {stream!r}"
 
 
+@pytest.mark.parametrize(
+    "text,word_phones",
+    [
+        # ---- round-5 homograph expansion goldens (VERDICT r4 #4) ----
+        # inflected forms of the stress-shift pairs
+        ("the records show growth", "R EH1 K ER0 D Z"),
+        ("she records it", "R IH0 K AO1 R D Z"),
+        ("his presents arrived", "P R EH1 Z AH0 N T S"),
+        ("he presents the award", "P R IH0 Z EH1 N T S"),
+        ("the objects on the table", "AA1 B JH EH0 K T S"),
+        ("he refuses and objects loudly", "AH0 B JH EH1 K T S"),
+        ("the projects were late", "P R AA1 JH EH0 K T S"),
+        ("she projects the image", "P R AH0 JH EH1 K T S"),
+        ("the permits expired", "P ER1 M IH0 T S"),
+        ("it permits them", "P ER0 M IH1 T S"),
+        ("the contracts were signed", "K AA1 N T R AE0 K T S"),
+        ("it expands and contracts", "K AH0 N T R AE1 K T S"),
+        ("the contents of the box", "K AA1 N T EH0 N T S"),
+        ("the exports rose", "EH1 K S P AO0 R T S"),
+        ("it exports them", "IH0 K S P AO1 R T S"),
+        ("the imports fell", "IH1 M P AO0 R T S"),
+        ("it imports them", "IH0 M P AO1 R T S"),
+        # new initial-stress noun / final-stress verb bases
+        ("an abstract idea", "AE1 B S T R AE2 K T"),
+        ("to abstract the details", "AE0 B S T R AE1 K T"),
+        ("her accent is lovely", "AE1 K S EH2 N T"),
+        ("to accent the beat", "AH0 K S EH1 N T"),
+        ("the addict recovered", "AE1 D IH2 K T"),
+        ("the impact was huge", "IH1 M P AE0 K T"),
+        ("it will impact the budget", "IH0 M P AE1 K T"),
+        ("it will affect us", "AH0 F EH1 K T"),
+        ("the allies won the war", "AE1 L AY0 Z"),
+        ("to ally with them", "AH0 L AY1"),
+        ("soldiers trained for combat", "K AA1 M B AE0 T"),
+        ("to combat crime", "K AH0 M B AE1 T"),
+        ("the decoy worked", "D IY1 K OY0"),
+        ("to dictate the terms", "D IH0 K T EY1 T"),
+        ("the digest arrived monthly", "D AY1 JH EH0 S T"),
+        ("to digest the meal", "D AY0 JH EH1 S T"),
+        ("to discard the card", "D IH0 S K AA1 R D"),
+        ("the fragments of glass", "F R AE1 G M AH0 N T S"),
+        ("it will fragment the coalition", "F R AE0 G M EH1 N T"),
+        ("a frequent visitor", "F R IY1 K W AH0 N T"),
+        ("they frequent the cafe", "F R IY0 K W EH1 N T"),
+        ("the perfume smells sweet", "P ER1 F Y UW0 M"),
+        ("to perfume the room", "P ER0 F Y UW1 M"),
+        ("the rebound was quick", "R IY1 B AW0 N D"),
+        ("they rebound quickly", "R IY0 B AW1 N D"),
+        ("to rewind the tape", "R IY0 W AY1 N D"),
+        ("the torment lasted years", "T AO1 R M EH0 N T"),
+        ("to torment the prisoner", "T AO0 R M EH1 N T"),
+        ("to upgrade the system", "AH0 P G R EY1 D"),
+        ("the upgrade is free", "AH1 P G R EY2 D"),
+        # -ment and -ate final-vowel alternations
+        ("the document was signed", "D AA1 K Y AH0 M AH0 N T"),
+        ("to document the process", "D AA1 K Y AH0 M EH2 N T"),
+        ("my compliments to the chef", "K AA1 M P L AH0 M AH0 N T S"),
+        ("to compliment her work", "K AA1 M P L AH0 M EH2 N T"),
+        ("the ornaments sparkled", "AO1 R N AH0 M AH0 N T S"),
+        ("the aggregate score", "AE1 G R AH0 G AH0 T"),
+        ("to aggregate the results", "AE1 G R AH0 G EY2 T"),
+        ("an appropriate response", "AH0 P R OW1 P R IY0 AH0 T"),
+        ("to appropriate the funds", "AH0 P R OW1 P R IY0 EY2 T"),
+        ("an elaborate plan", "IH0 L AE1 B R AH0 T"),
+        ("to elaborate on that", "IH0 L AE1 B ER0 EY2 T"),
+        ("to initiate the sequence", "IH0 N IH1 SH IY0 EY2 T"),
+        ("a legitimate claim", "L AH0 JH IH1 T AH0 M AH0 T"),
+        ("to postulate a theory", "P AA1 S CH AH0 L EY2 T"),
+        ("the desolate landscape", "D EH1 S AH0 L AH0 T"),
+    ],
+)
+def test_homograph_round5_goldens(text, word_phones):
+    """Golden disambiguation sentences for the round-5 homograph expansion
+    (VERDICT r4 #4: >=40 goldens over the grown inventory)."""
+    g2p = EnG2p()
+    stream = " ".join(g2p(text))
+    assert word_phones in stream, f"{text!r} -> {stream!r}"
+
+
+@pytest.mark.parametrize(
+    "text,word_phones",
+    [
+        # noun/noun context-keyword homographs (_CONTEXT_HOMOGRAPHS)
+        ("he plays the bass guitar", "B EY1 S"),
+        ("they caught a bass in the lake", "B AE1 S"),
+        ("wait a minute please", "M IH1 N AH0 T"),
+        ("the minute details matter", "M AY0 N UW1 T"),
+        ("the meeting is in august", "AO1 G AH0 S T"),
+        ("an august presence entered", "AO0 G AH1 S T"),
+        # read-family tense homographs (_TENSE_HOMOGRAPHS)
+        ("i will reread the book", "R IY0 R IY1 D"),
+        ("she reread it yesterday", "R IY0 R EH1 D"),
+        ("do not misread the signs", "M IH0 S R IY1 D"),
+        ("he misread the map earlier", "M IH0 S R EH1 D"),
+        ("please proofread my essay", "P R UW1 F R IY2 D"),
+        ("she proofread it last night", "P R UW1 F R EH2 D"),
+    ],
+)
+def test_context_and_tense_homographs(text, word_phones):
+    g2p = EnG2p()
+    stream = " ".join(g2p(text))
+    assert word_phones in stream, f"{text!r} -> {stream!r}"
+
+
+def test_homograph_inventory_scale():
+    """The homograph inventory is ~250 entries (VERDICT r4 #4; g2p_en's
+    table has ~400 backed by full nltk POS tagging)."""
+    from mamba_tts_tpu.text.g2p import (
+        _CONTEXT_HOMOGRAPHS, _HOMOGRAPHS, _TENSE_HOMOGRAPHS,
+    )
+
+    n = len(_HOMOGRAPHS) + len(_TENSE_HOMOGRAPHS) + len(_CONTEXT_HOMOGRAPHS)
+    assert n >= 250, n
+
+
+def test_context_tense_homograph_prons_in_vocab():
+    """Context/tense homograph pronunciations emit only in-vocab phonemes
+    (the _HOMOGRAPHS table has its own test above)."""
+    import json
+
+    from mamba_tts_tpu.text.g2p import _CONTEXT_HOMOGRAPHS, _TENSE_HOMOGRAPHS
+
+    vocab = set(json.load(open("phoneme_vocab.json")))
+    for word, (present, past) in _TENSE_HOMOGRAPHS.items():
+        for ph in list(present) + list(past):
+            assert ph in vocab, f"{word}: {ph} not in vocab"
+    for word, (default, cues) in _CONTEXT_HOMOGRAPHS.items():
+        prons = [default] + [p for _cues, p in cues]
+        for pron in prons:
+            for ph in pron:
+                assert ph in vocab, f"{word}: {ph} not in vocab"
+
+
 def test_oov_rate_on_tts_corpus():
     """Dictionary-scale coverage: on a 400-sentence hand-authored corpus of
     representative TTS text (narration, dialogue, style prompts), the
