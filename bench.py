@@ -41,6 +41,17 @@ best-known-good B=1 milestone with explicit provenance fields
 reported under extra.best_known_good either way.  MFU accounting
 (flops/token, achieved TFLOP/s, % of v5e peak) rides the meta line for the
 decode headline and the train extra.
+
+Round-5 hardening (VERDICT r4 #1): the probe runs as a bench.py child so it
+shares the persistent compile cache with the workload children — a warm
+machine now passes the probe instead of re-paying the remote-compile
+service every run.  A failed probe is recorded as ``probe_failed`` (not
+"unhealthy") and the megakernel child still runs; if it lands a FRESH
+headline that is proof of life and the NORMAL schedule continues (train →
+step-scan → e2e) with the remaining budget.  ``backend_unhealthy`` is only
+stamped when the probe AND the real workload both fail, and
+``headline_fresh: true`` marks any artifact whose headline was measured in
+this run (vs the persisted fallback).
 """
 from __future__ import annotations
 
@@ -259,10 +270,9 @@ def _mega_child():
     # are runtime jit ARGUMENTS, not closed-over constants — the remote
     # compile service rejects requests with large embedded constants, and
     # the kernel's VMEM residency comes from BlockSpec'd operands either
-    # way.  Plans are precomputed once per residency dtype.
-    # Lazy per-dtype plan cache: the bf16 plan is all the B=1 headline needs,
-    # so the int8 plan compile (only used by the batched extras) must not
-    # delay the headline on a cold cache.
+    # way.  Lazy per-dtype plan cache: the bf16 plan is all the B=1 headline
+    # needs, so the int8 plan compile (only used by the batched extras) must
+    # not delay the headline on a cold cache.
     wps = {}
 
     def _wp(wd):
@@ -310,6 +320,28 @@ def _mega_child():
             _emit({"k": key, "v": round(B * cfg.num_quantizers * F / wallb, 1)})
         except Exception as e:
             _emit({"k": key, "v": f"error: {type(e).__name__}"})
+
+
+def _probe_child():
+    """Child: trivial-jit backend health probe.  Runs as a bench.py child
+    (not an inline ``python -c`` script) so it enables the SAME persistent
+    compile cache as the workload children (VERDICT r4 #1a) — a warm
+    machine passes the probe from cache instead of re-paying the slow
+    remote-compile service that the real workloads never pay.
+
+    Emits TWO milestones so the parent can distinguish dead from slow:
+    ``devices_ok`` once the tunnel hands over the device (measured taking
+    up to ~6 min under load, 2026-08-19), then ``probe_ok`` after the jit
+    round-trips.  A killed-at-deadline probe that printed devices_ok is a
+    SLOW backend, not a dead one."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    n = len(jax.devices())
+    _emit({"k": "devices_ok", "v": float(n)})
+    y = jax.device_get(jax.jit(lambda a: (a + 1).sum())(jnp.ones((8, 8))))
+    _emit({"k": "probe_ok", "v": float(y)})
 
 
 def _stepscan_child(jobs):
@@ -634,53 +666,72 @@ def main():
     # 0. Backend health probe: a trivial jit through the TPU tunnel.  When
     #    the tunnel/compile service is down, every child would hang to its
     #    deadline and the run burns the full budget reporting nothing —
-    #    observed 2026-08-17 (even `lambda a: a+1` hung).  Probe with a
-    #    short deadline; on failure emit the degraded-but-parseable line
-    #    immediately with an explicit marker.
-    probe = (
-        "import jax, jax.numpy as jnp\n"
-        "y = jax.device_get(jax.jit(lambda a: (a + 1).sum())"
-        "(jnp.ones((8, 8))))\n"
-        "import json; print(json.dumps({'k': 'probe_ok', 'v': float(y)}),"
-        " flush=True)\n"
-    )
-    lines = _run_child([py, "-c", probe], min(240.0, remaining()), "probe")
+    #    observed 2026-08-17 (even `lambda a: a+1` hung).  The probe is a
+    #    bench.py child so it shares the persistent compile cache with the
+    #    workload children (a warm machine must pass — VERDICT r4 #1a).
+    # Device acquisition alone can take ~6 min under tunnel load (measured
+    # 384 s on 2026-08-19), so the probe deadline must cover it.
+    lines = _run_child([py, me, "--probe-child"],
+                       min(420.0, remaining()), "probe")
     probe_ok = any(d.get("k") == "probe_ok" for d in lines)
-    if not probe_ok and remaining() > 500:
+    devices_ok = any(d.get("k") == "devices_ok" for d in lines)
+    if not probe_ok and not devices_ok and remaining() > 500:
         # Belt-and-suspenders for a flaky tunnel (VERDICT r3 #1): back off
         # once and re-probe — transient relay hiccups recover in seconds,
-        # and a second 180 s probe is cheap next to a wasted budget.
+        # and a second 180 s probe is cheap next to a wasted budget.  (A
+        # devices_ok probe is merely SLOW — retrying re-pays device
+        # acquisition for nothing, so it skips straight to the workload.)
         time.sleep(45)
         lines = _run_child(
-            [py, "-c", probe], min(180.0, remaining()), "probe_retry"
+            [py, me, "--probe-child"], min(180.0, remaining()), "probe_retry"
         )
         probe_ok = any(d.get("k") == "probe_ok" for d in lines)
+        devices_ok = devices_ok or any(
+            d.get("k") == "devices_ok" for d in lines
+        )
         if probe_ok:
             extras["probe_retried"] = True
     if not probe_ok:
-        # The tunnel may be down — or the compile service merely slow.  Try
-        # the headline child once with a bounded deadline before giving up:
-        # a dead backend costs this bound and still reports in time, a slow
-        # one can still land the headline.
-        extras["backend_unhealthy"] = (
-            "trivial jit did not complete in 240 s - TPU tunnel or "
+        # The tunnel may be down — or merely slow.  A failed probe alone is
+        # NOT proof of death (r04's probe failed twice on a machine that
+        # then landed a fresh headline): record it, note whether the device
+        # at least came up, and let the megakernel child decide.
+        extras["probe_failed"] = (
+            "device came up but the trivial jit did not finish in time - "
+            "backend alive but slow" if devices_ok else
+            "no device within the probe deadline - TPU tunnel or "
             "remote-compile service down or very slow"
         )
-        t = max(60.0, min(600.0, remaining() - 120.0))
-        absorb(_run_child([py, me, "--megakernel-child"], t, "mega"))
-        signal.alarm(0)
-        _finalize(extras, walls, budget_s,
-                  time.monotonic() - t_start)
-        return
 
     # 1. Megakernel child FIRST: the fastest serving path and the headline
     #    when it succeeds; B=1 also has the cheapest Mosaic compile.
-    #    Reserve enough tail budget for a step-scan fallback headline.
-    t = max(120.0, min(840.0, remaining() - 420.0))
+    #    Healthy (or alive-but-slow) backend: reserve enough tail budget for
+    #    a step-scan fallback headline.  No sign of life: bound the attempt
+    #    so a genuinely dead backend still reports inside the budget.
+    if probe_ok or devices_ok:
+        t = max(120.0, min(840.0, remaining() - 420.0))
+    else:
+        t = max(60.0, min(600.0, remaining() - 120.0))
     absorb(_run_child([py, me, "--megakernel-child"], t, "mega"))
     have_headline = isinstance(
         extras.get("megakernel_tokens_per_sec_b1"), (int, float)
     )
+    if have_headline:
+        extras["headline_fresh"] = True
+    if not probe_ok and not have_headline:
+        # Probe AND the real workload both failed: the backend is genuinely
+        # down.  Finalize on the persisted best-known-good milestones.
+        extras["backend_unhealthy"] = (
+            "health probe and megakernel child both failed - TPU tunnel "
+            "or remote-compile service down"
+        )
+        signal.alarm(0)
+        _finalize(extras, walls, budget_s,
+                  time.monotonic() - t_start)
+        return
+    # A failed probe next to a fresh headline was a false negative
+    # (VERDICT r4 #1b): proof of life — continue the NORMAL schedule
+    # (train → step-scan → e2e) with the remaining budget.
     for k in ("megakernel_tokens_per_sec_b1", "megakernel_tokens_per_sec_b8",
               "megakernel_tokens_per_sec_b16_short"):
         extras.setdefault(k, "error: timeout")
@@ -774,7 +825,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--megakernel-child" in sys.argv:
+    if "--probe-child" in sys.argv:
+        _probe_child()
+    elif "--megakernel-child" in sys.argv:
         _mega_child()
     elif "--stepscan-child" in sys.argv:
         i = sys.argv.index("--stepscan-child")

@@ -194,6 +194,108 @@ def test_finalize_prefers_fresh_over_persisted(tmp_path, capsys):
     assert bkg["megakernel_tokens_per_sec_b1"]["v"] == 99999.0
 
 
+# ---------------------------------------------------------------------------
+# probe false-negative flow (round-5 hardening, VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+
+def _fake_children(bench, responses, monkeypatch):
+    """Monkeypatch bench._run_child with a tag-keyed canned-response table
+    and neutralize the probe-retry backoff sleep."""
+    calls = []
+
+    def fake_run_child(argv, timeout_s, tag):
+        calls.append(tag)
+        return responses.get(tag, [])
+
+    monkeypatch.setattr(bench, "_run_child", fake_run_child)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    return calls
+
+
+def test_failed_probe_with_fresh_headline_continues_schedule(
+        tmp_path, capsys, monkeypatch):
+    """r04 regression: the probe failed twice on a live machine, and the
+    unhealthy path then skipped train/scan/e2e.  A fresh megakernel headline
+    is proof of life — the normal schedule must CONTINUE, and the artifact
+    must say probe_failed + headline_fresh, never backend_unhealthy."""
+    bench = _bench_with_dir(tmp_path)
+    monkeypatch.setenv("BENCH_BUDGET_S", "1380")
+    responses = {
+        "probe": [], "probe_retry": [],  # probe false-negative
+        "mega": [
+            {"k": "meta", "param_bytes": 93e6, "param_count": 46_500_000,
+             "kv_bytes_per_example": 20e6, "state_bytes_per_example": 1e6,
+             "flops_per_token": 100e6, "vocab": 1026, "backend": "tpu"},
+            {"k": "megakernel_tokens_per_sec_b1", "v": 29000.0,
+             "wall_s": 0.1766},
+        ],
+        "train": [{"ms_per_step": 50.0, "train_tokens_per_sec": 80000.0,
+                   "train_flops_per_step": 4e12}],
+        "scan": [{"k": "bf16_tokens_per_sec_b1", "v": 6100.0,
+                  "wall_s": 0.84}],
+        "e2e": [{"e2e_rtf": 0.028, "wav_finite": True},
+                {"e2e_rtf_registered_voice": 0.021, "wav_finite": True}],
+    }
+    calls = _fake_children(bench, responses, monkeypatch)
+    bench.main()
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # headline is the fresh megakernel number
+    assert d["value"] == 29000.0
+    assert d["extra"]["decode_path"] == "megakernel"
+    assert d["extra"]["headline_fresh"] is True
+    assert "probe_failed" in d["extra"]
+    assert "backend_unhealthy" not in d["extra"]
+    # the schedule continued past the failed probe: fresh train + e2e landed
+    assert calls == ["probe", "probe_retry", "mega", "train", "scan", "e2e"]
+    assert d["extra"]["train_step_ms"] == 50.0
+    assert d["extra"]["e2e_rtf"] == 0.028
+    assert d["extra"]["e2e_rtf_registered_voice"] == 0.021
+    assert "train_mfu" in d["extra"]
+    # ...and the e2e milestones were persisted for future degraded runs
+    got = bench._load_milestones()
+    assert got["e2e_rtf"]["v"] == 0.028
+    assert got["e2e_rtf_registered_voice"]["v"] == 0.021
+
+
+def test_failed_probe_and_failed_mega_is_unhealthy(
+        tmp_path, capsys, monkeypatch):
+    """Probe AND megakernel child both dead: finalize early on persisted
+    bests with an explicit backend_unhealthy marker; no further children."""
+    bench = _bench_with_dir(tmp_path)
+    monkeypatch.setenv("BENCH_BUDGET_S", "1380")
+    bench._persist_milestone(
+        {"k": "megakernel_tokens_per_sec_b1", "v": 27500.0, "wall_s": 0.186}
+    )
+    responses = {"probe": [], "probe_retry": [], "mega": []}
+    calls = _fake_children(bench, responses, monkeypatch)
+    bench.main()
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls == ["probe", "probe_retry", "mega"]  # no train/scan/e2e
+    assert d["value"] == 27500.0
+    assert d["extra"]["headline_persisted"] is True
+    assert "backend_unhealthy" in d["extra"]
+    assert "probe_failed" in d["extra"]
+    assert "headline_fresh" not in d["extra"]
+
+
+def test_healthy_probe_runs_full_schedule(tmp_path, capsys, monkeypatch):
+    bench = _bench_with_dir(tmp_path)
+    monkeypatch.setenv("BENCH_BUDGET_S", "1380")
+    responses = {
+        "probe": [{"k": "probe_ok", "v": 128.0}],
+        "mega": [{"k": "megakernel_tokens_per_sec_b1", "v": 29000.0,
+                  "wall_s": 0.1766}],
+        "train": [{"ms_per_step": 50.0, "train_tokens_per_sec": 80000.0}],
+        "scan": [], "e2e": [{"e2e_rtf": 0.028, "wav_finite": True}],
+    }
+    calls = _fake_children(bench, responses, monkeypatch)
+    bench.main()
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls == ["probe", "mega", "train", "scan", "e2e"]
+    assert "probe_failed" not in d["extra"]
+    assert d["extra"]["headline_fresh"] is True
+
+
 def test_finalize_train_mfu(tmp_path, capsys):
     bench = _bench_with_dir(tmp_path)
     extras = {
