@@ -125,6 +125,68 @@ class JointNgramLTS:
     # ------------------------------------------------------------ alignment
 
     @staticmethod
+    def _forward_backward_counts(
+        word: str, phones: Sequence[str], prob, floor: float,
+        out_counts: Dict[tuple, float],
+    ) -> bool:
+        """Accumulate EXPECTED graphone counts over all segmentations of
+        (word, phones) under ``prob`` (soft EM, Bisani & Ney §4.2) into
+        ``out_counts``.  Returns False when no segmentation exists.
+
+        Words are short (<~25 letters/phones) so raw probabilities stay
+        far above float underflow; no log-space scaling needed."""
+        W, P = len(word), len(phones)
+
+        def arcs_from(i, j):
+            for dg in range(1, MAX_G + 1):
+                if i + dg > W:
+                    break
+                g = word[i : i + dg]
+                for dp in range(0, MAX_P + 1):
+                    if j + dp > P:
+                        break
+                    if dg == 2 and dp == 0 and g[0] != g[1] and g not in (
+                        "gh", "ug", "te", "ue"
+                    ):
+                        continue
+                    gp = (g, tuple(phones[j : j + dp]))
+                    p = prob(gp)
+                    yield dg, dp, gp, (p if p > 0 else floor)
+
+        fwd = [[0.0] * (P + 1) for _ in range(W + 1)]
+        fwd[0][0] = 1.0
+        for i in range(W + 1):
+            for j in range(P + 1):
+                a = fwd[i][j]
+                if a == 0.0:
+                    continue
+                for dg, dp, _gp, p in arcs_from(i, j):
+                    fwd[i + dg][j + dp] += a * p
+        Z = fwd[W][P]
+        if Z <= 0.0:
+            return False
+        bwd = [[0.0] * (P + 1) for _ in range(W + 1)]
+        bwd[W][P] = 1.0
+        for i in range(W, -1, -1):
+            for j in range(P, -1, -1):
+                if fwd[i][j] == 0.0 or (i, j) == (W, P):
+                    continue
+                b = 0.0
+                for dg, dp, _gp, p in arcs_from(i, j):
+                    b += p * bwd[i + dg][j + dp]
+                bwd[i][j] = b
+        for i in range(W + 1):
+            for j in range(P + 1):
+                a = fwd[i][j]
+                if a == 0.0:
+                    continue
+                for dg, dp, gp, p in arcs_from(i, j):
+                    post = a * p * bwd[i + dg][j + dp] / Z
+                    if post > 1e-12:
+                        out_counts[gp] = out_counts.get(gp, 0.0) + post
+        return True
+
+    @staticmethod
     def _viterbi_align(
         word: str, phones: Sequence[str], prob, floor: float
     ) -> Optional[List[tuple]]:
@@ -178,8 +240,15 @@ class JointNgramLTS:
         cls,
         lexicon: Dict[str, Sequence[str]],
         iters: int = 5,
+        soft: bool = False,
     ) -> Dict[str, List[tuple]]:
-        """Viterbi-EM graphone alignment of every lexicon entry."""
+        """EM graphone alignment of every lexicon entry.
+
+        ``soft=False``: hard Viterbi EM (1-best counts each iteration).
+        ``soft=True``: expectation EM (forward-backward posterior counts
+        over ALL segmentations each iteration — Bisani & Ney §4.2), with a
+        final Viterbi pass under the converged model to emit the discrete
+        segmentations the n-gram trains on (VERDICT r4 #3 lever)."""
         entries = [
             (w, list(p)) for w, p in lexicon.items()
             if re.fullmatch(r"[a-z']+", w)
@@ -196,16 +265,20 @@ class JointNgramLTS:
         for it in range(iters):
             gp_counts = {}
             total = 0.0
+            last = it == iters - 1
             for w, p in entries:
-                seg = cls._viterbi_align(w, p, prob, floor)
-                if seg is None:
-                    continue
-                aligned[w] = seg
-                for gp in seg:
-                    gp_counts[gp] = gp_counts.get(gp, 0.0) + 1.0
-                    total += 1.0
-            if it == iters - 1:
+                if soft and not last:
+                    cls._forward_backward_counts(w, p, prob, floor, gp_counts)
+                else:
+                    seg = cls._viterbi_align(w, p, prob, floor)
+                    if seg is None:
+                        continue
+                    aligned[w] = seg
+                    for gp in seg:
+                        gp_counts[gp] = gp_counts.get(gp, 0.0) + 1.0
+            if last:
                 break
+            total = sum(gp_counts.values())
             # M-step: relative frequencies with a tiny smoothing floor
             denom = total + 1.0
 
@@ -223,8 +296,9 @@ class JointNgramLTS:
         lexicon: Dict[str, Sequence[str]],
         order: int = 4,
         iters: int = 5,
+        soft: bool = False,
     ) -> "JointNgramLTS":
-        aligned = cls.align_lexicon(lexicon, iters=iters)
+        aligned = cls.align_lexicon(lexicon, iters=iters, soft=soft)
         model = cls(order=order)
         model.add_aligned(aligned.values())
         model.build_backward(aligned.values())
