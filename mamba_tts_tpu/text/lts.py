@@ -419,6 +419,8 @@ class JointNgramLTS:
         bundled lexicon BEFORE reaching this model."""
         from .g2p import inflect_ed, inflect_s
 
+        if word in ("does", "says"):  # irregular vowels, not stem+s
+            return None
         tw = self.train_words
         n = len(word)
 
@@ -442,14 +444,16 @@ class JointNgramLTS:
             b = base(word[:-3] + "y")
             if b:
                 return inflect_ed(b)
+        # e-restored stems FIRST: "scared" is scare+d, not scar+red (which
+        # would double), and "hoping" is hope+ing, not hop+ing (ditto).
         if word.endswith("ed") and n > 4:
-            for stem in (word[:-2], word[:-1],
+            for stem in (word[:-1], word[:-2],
                          word[:-3] if n > 5 and word[-3] == word[-4] else ""):
                 b = base(stem) if stem else None
                 if b:
                     return inflect_ed(b)
         if word.endswith("ing") and n > 5:
-            for stem in (word[:-3], word[:-3] + "e",
+            for stem in (word[:-3] + "e", word[:-3],
                          word[:-4] if n > 6 and word[-4] == word[-5] else ""):
                 b = base(stem) if stem else None
                 if b:
