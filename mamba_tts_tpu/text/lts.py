@@ -437,7 +437,11 @@ class JointNgramLTS:
             b = base(word[:-3] + "y")
             if b:
                 return inflect_s(b)
-        if word.endswith("es") and n > 3:
+        if word.endswith("es") and n > 3 and (
+            word[-4:-2] in ("ch", "sh") or word[-3] in "sxzo"
+        ):
+            # -es only attaches after sibilants or consonant+o (boxes,
+            # churches, heroes) — without the gate "james" peeled to jam+es
             b = base(word[:-2])
             if b:
                 return inflect_s(b)

@@ -32,15 +32,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure_parity(model, params, cfg, frames: int, seed: int = 0):
-    """Returns dict of parity metrics between greedy decode and forward."""
+def measure_parity(model, params, cfg, frames: int, seed: int = 0,
+                   batch: int = 2):
+    """Returns dict of parity metrics between greedy decode and forward.
+
+    ``batch`` sets the decode batch — ``--batch 16`` measures the B=16
+    short-prompt VMEM-fit residency config's flip rate (VERDICT r4 #8; the
+    megakernel int8w/int8kv entry is that config)."""
     from mamba_tts_tpu.models.decoder import MambaTTSDecoder, greedy_decode
     from mamba_tts_tpu.models.tts import MambaTTS
 
     dec_cfg = cfg.decoder.with_mamba_dims()
     decoder = MambaTTSDecoder(dec_cfg)
     Q = dec_cfg.num_quantizers
-    B, L, S = 2, 12, 8
+    B, L, S = batch, 12, 8
     ks = jax.random.split(jax.random.PRNGKey(seed), 4)
     batch = {
         "phoneme_ids": jax.random.randint(ks[0], (B, L), 1, cfg.text_encoder.vocab_size),
@@ -146,6 +151,7 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=64)
     parser.add_argument("--train_steps", type=int, default=200)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--batch", type=int, default=2)
     args = parser.parse_args(argv)
 
     from mamba_tts_tpu import config as config_lib
@@ -193,8 +199,11 @@ def main(argv=None):
         params, restored = state_lib.restore_params(ckpt, abstract)
         assert restored
 
-    results = measure_parity(model, params, cfg, args.frames, args.seed)
-    print(json.dumps({"greedy_parity": results}, indent=2))
+    results = measure_parity(
+        model, params, cfg, args.frames, args.seed, batch=args.batch
+    )
+    print(json.dumps({"greedy_parity": results, "batch": args.batch},
+                     indent=2))
 
 
 if __name__ == "__main__":

