@@ -463,6 +463,37 @@ def test_lts_heldout_accuracy():
     assert acc >= 0.68
 
 
+def test_lts_inflect_lookup():
+    """Morpheme-aware decoding unit cases: e-restored stems beat bare stems
+    (scared = scare+d, hoping = hope+ing), -es only peels after sibilants
+    (james != jam+es), and irregulars are blocklisted (does, rugged)."""
+    from mamba_tts_tpu.text.lts import JointNgramLTS
+
+    m = JointNgramLTS(order=2)
+    m.add_aligned([
+        [("s", ("S",)), ("c", ("K",)), ("a", ("EH1",)), ("re", ("R",))],
+        [("s", ("S",)), ("c", ("K",)), ("ar", ("AA1", "R"))],
+        [("h", ("HH",)), ("o", ("OW1",)), ("pe", ("P",))],
+        [("h", ("HH",)), ("o", ("AA1",)), ("p", ("P",))],
+        [("j", ("JH",)), ("a", ("AE1",)), ("m", ("M",))],
+        [("b", ("B",)), ("o", ("AA1",)), ("x", ("K", "S"))],
+        [("d", ("D",)), ("oe", ("OW1",))],
+        [("r", ("R",)), ("u", ("AH1",)), ("g", ("G",))],
+    ])
+    assert m.train_words["scare"] == ("S", "K", "EH1", "R")
+    # e-restored stem wins over the bare stem
+    assert m._inflect_lookup("scared") == ["S", "K", "EH1", "R", "D"]
+    assert m._inflect_lookup("hoping") == ["HH", "OW1", "P", "IH0", "NG"]
+    # undoubling recovers the short stem
+    assert m._inflect_lookup("hopping") == ["HH", "AA1", "P", "IH0", "NG"]
+    # -es peels only after sibilants / consonant+o
+    assert m._inflect_lookup("boxes") == ["B", "AA1", "K", "S", "IH0", "Z"]
+    assert m._inflect_lookup("james") is None
+    # irregular blocklists
+    assert m._inflect_lookup("does") is None
+    assert m._inflect_lookup("rugged") is None
+
+
 def test_lts_bundled_artifact_matches_lexicon():
     """The committed alignment artifact covers the full bundled lexicon
     (rebuilt by tools/train_lts.py after lexicon changes) and the replayed
