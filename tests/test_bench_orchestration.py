@@ -278,6 +278,31 @@ def test_failed_probe_and_failed_mega_is_unhealthy(
     assert "headline_fresh" not in d["extra"]
 
 
+def test_slow_probe_with_devices_ok_skips_retry(tmp_path, capsys, monkeypatch):
+    """Probe saw the device but the trivial jit didn't finish (backend alive
+    but slow, measured 384 s device acquisition 2026-08-19): no pointless
+    retry (it would re-pay device acquisition), healthy-path deadlines, and
+    the schedule continues."""
+    bench = _bench_with_dir(tmp_path)
+    monkeypatch.setenv("BENCH_BUDGET_S", "1380")
+    responses = {
+        "probe": [{"k": "devices_ok", "v": 1.0}],  # no probe_ok
+        "mega": [{"k": "megakernel_tokens_per_sec_b1", "v": 29000.0,
+                  "wall_s": 0.1766}],
+        "train": [{"ms_per_step": 50.0, "train_tokens_per_sec": 80000.0}],
+        "scan": [], "e2e": [{"e2e_rtf": 0.028, "wav_finite": True}],
+    }
+    calls = _fake_children(bench, responses, monkeypatch)
+    bench.main()
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "probe_retry" not in calls
+    assert calls == ["probe", "mega", "train", "scan", "e2e"]
+    assert "alive but slow" in d["extra"]["probe_failed"]
+    assert "backend_unhealthy" not in d["extra"]
+    assert d["extra"]["headline_fresh"] is True
+    assert d["value"] == 29000.0
+
+
 def test_healthy_probe_runs_full_schedule(tmp_path, capsys, monkeypatch):
     bench = _bench_with_dir(tmp_path)
     monkeypatch.setenv("BENCH_BUDGET_S", "1380")
