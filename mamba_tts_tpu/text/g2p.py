@@ -986,6 +986,106 @@ _HOMOGRAPHS = {
                    ["P", "AA1", "S", "CH", "AH0", "L", "AH0", "T", "S"], True),
     "triplicate": (["T", "R", "IH1", "P", "L", "AH0", "K", "EY2", "T"],
                    ["T", "R", "IH1", "P", "L", "AH0", "K", "AH0", "T"], False),
+    # ---- round-5b expansion: remaining high-frequency stress-shift,
+    # -ate verb/nominal, and s/z voicing pairs (reference:
+    # data_utils/text_processor.py:95-102, g2p_en's ~400-entry table).
+    "affiliate": (["AH0", "F", "IH1", "L", "IY0", "EY2", "T"],
+                  ["AH0", "F", "IH1", "L", "IY0", "AH0", "T"], True),
+    "affiliates": (["AH0", "F", "IH1", "L", "IY0", "EY2", "T", "S"],
+                   ["AH0", "F", "IH1", "L", "IY0", "AH0", "T", "S"], True),
+    "certificate": (["S", "ER0", "T", "IH1", "F", "IH0", "K", "EY2", "T"],
+                    ["S", "ER0", "T", "IH1", "F", "IH0", "K", "AH0", "T"],
+                    False),
+    "concert": (["K", "AH0", "N", "S", "ER1", "T"],
+                ["K", "AA1", "N", "S", "ER0", "T"], False),
+    "confederate": (["K", "AH0", "N", "F", "EH1", "D", "ER0", "EY2", "T"],
+                    ["K", "AH0", "N", "F", "EH1", "D", "ER0", "AH0", "T"],
+                    False),
+    "conglomerate": (
+        ["K", "AH0", "N", "G", "L", "AA1", "M", "ER0", "EY2", "T"],
+        ["K", "AH0", "N", "G", "L", "AA1", "M", "ER0", "AH0", "T"], False),
+    "consummate": (["K", "AA1", "N", "S", "AH0", "M", "EY2", "T"],
+                   ["K", "AA1", "N", "S", "AH0", "M", "AH0", "T"], True),
+    "detail": (["D", "IH0", "T", "EY1", "L"],
+               ["D", "IY1", "T", "EY0", "L"], False),
+    "details": (["D", "IH0", "T", "EY1", "L", "Z"],
+                ["D", "IY1", "T", "EY0", "L", "Z"], False),
+    "diffuse": (["D", "IH0", "F", "Y", "UW1", "Z"],
+                ["D", "IH0", "F", "Y", "UW1", "S"], True),
+    "discourse": (["D", "IH0", "S", "K", "AO1", "R", "S"],
+                  ["D", "IH1", "S", "K", "AO2", "R", "S"], False),
+    "downgrade": (["D", "AW2", "N", "G", "R", "EY1", "D"],
+                  ["D", "AW1", "N", "G", "R", "EY2", "D"], True),
+    "excerpt": (["EH0", "K", "S", "ER1", "P", "T"],
+                ["EH1", "K", "S", "ER2", "P", "T"], False),
+    "excerpts": (["EH0", "K", "S", "ER1", "P", "T", "S"],
+                 ["EH1", "K", "S", "ER2", "P", "T", "S"], False),
+    "expatriate": (
+        ["EH0", "K", "S", "P", "EY1", "T", "R", "IY0", "EY2", "T"],
+        ["EH0", "K", "S", "P", "EY1", "T", "R", "IY0", "AH0", "T"], False),
+    "incarnate": (["IH0", "N", "K", "AA1", "R", "N", "EY2", "T"],
+                  ["IH0", "N", "K", "AA1", "R", "N", "AH0", "T"], False),
+    "intercept": (["IH2", "N", "T", "ER0", "S", "EH1", "P", "T"],
+                  ["IH1", "N", "T", "ER0", "S", "EH2", "P", "T"], True),
+    "intercepts": (["IH2", "N", "T", "ER0", "S", "EH1", "P", "T", "S"],
+                   ["IH1", "N", "T", "ER0", "S", "EH2", "P", "T", "S"], True),
+    "interchange": (["IH2", "N", "T", "ER0", "CH", "EY1", "N", "JH"],
+                    ["IH1", "N", "T", "ER0", "CH", "EY2", "N", "JH"], False),
+    "intern": (["IH0", "N", "T", "ER1", "N"],
+               ["IH1", "N", "T", "ER0", "N"], False),
+    "interns": (["IH0", "N", "T", "ER1", "N", "Z"],
+                ["IH1", "N", "T", "ER0", "N", "Z"], False),
+    "misconduct": (["M", "IH2", "S", "K", "AH0", "N", "D", "AH1", "K", "T"],
+                   ["M", "IH0", "S", "K", "AA1", "N", "D", "AH0", "K", "T"],
+                   False),
+    "mismatch": (["M", "IH0", "S", "M", "AE1", "CH"],
+                 ["M", "IH1", "S", "M", "AE2", "CH"], False),
+    "overestimate": (
+        ["OW2", "V", "ER0", "EH1", "S", "T", "AH0", "M", "EY2", "T"],
+        ["OW2", "V", "ER0", "EH1", "S", "T", "AH0", "M", "AH0", "T"], True),
+    "overhang": (["OW2", "V", "ER0", "HH", "AE1", "NG"],
+                 ["OW1", "V", "ER0", "HH", "AE2", "NG"], False),
+    "overload": (["OW2", "V", "ER0", "L", "OW1", "D"],
+                 ["OW1", "V", "ER0", "L", "OW2", "D"], True),
+    "overloads": (["OW2", "V", "ER0", "L", "OW1", "D", "Z"],
+                  ["OW1", "V", "ER0", "L", "OW2", "D", "Z"], True),
+    "overrun": (["OW2", "V", "ER0", "R", "AH1", "N"],
+                ["OW1", "V", "ER0", "R", "AH2", "N"], True),
+    "pontificate": (["P", "AA0", "N", "T", "IH1", "F", "IH0", "K", "EY2", "T"],
+                    ["P", "AA0", "N", "T", "IH1", "F", "IH0", "K", "AH0", "T"],
+                    True),
+    "precipitate": (["P", "R", "IH0", "S", "IH1", "P", "IH0", "T", "EY2", "T"],
+                    ["P", "R", "IH0", "S", "IH1", "P", "IH0", "T", "AH0", "T"],
+                    True),
+    "purport": (["P", "ER0", "P", "AO1", "R", "T"],
+                ["P", "ER1", "P", "AO2", "R", "T"], True),
+    "recoil": (["R", "IH0", "K", "OY1", "L"],
+               ["R", "IY1", "K", "OY2", "L"], True),
+    "relapse": (["R", "IH0", "L", "AE1", "P", "S"],
+                ["R", "IY1", "L", "AE0", "P", "S"], False),
+    "reset": (["R", "IY0", "S", "EH1", "T"],
+              ["R", "IY1", "S", "EH2", "T"], True),
+    "resets": (["R", "IY0", "S", "EH1", "T", "S"],
+               ["R", "IY1", "S", "EH2", "T", "S"], True),
+    "sophisticate": (
+        ["S", "AH0", "F", "IH1", "S", "T", "IH0", "K", "EY2", "T"],
+        ["S", "AH0", "F", "IH1", "S", "T", "IH0", "K", "AH0", "T"], False),
+    "subcontract": (
+        ["S", "AH2", "B", "K", "AH0", "N", "T", "R", "AE1", "K", "T"],
+        ["S", "AH0", "B", "K", "AA1", "N", "T", "R", "AE0", "K", "T"], False),
+    "transform": (["T", "R", "AE0", "N", "S", "F", "AO1", "R", "M"],
+                  ["T", "R", "AE1", "N", "S", "F", "AO0", "R", "M"], True),
+    "transforms": (["T", "R", "AE0", "N", "S", "F", "AO1", "R", "M", "Z"],
+                   ["T", "R", "AE1", "N", "S", "F", "AO0", "R", "M", "Z"],
+                   True),
+    "undercut": (["AH2", "N", "D", "ER0", "K", "AH1", "T"],
+                 ["AH1", "N", "D", "ER0", "K", "AH2", "T"], True),
+    "underestimate": (
+        ["AH2", "N", "D", "ER0", "EH1", "S", "T", "AH0", "M", "EY2", "T"],
+        ["AH2", "N", "D", "ER0", "EH1", "S", "T", "AH0", "M", "AH0", "T"],
+        True),
+    "underline": (["AH2", "N", "D", "ER0", "L", "AY1", "N"],
+                  ["AH1", "N", "D", "ER0", "L", "AY2", "N"], True),
 }
 
 # Tense-sensitive homographs: spelled identically in present and past
@@ -1026,6 +1126,28 @@ _CONTEXT_HOMOGRAPHS = {
             "an most presence figure figures personage assembly body "
             "institution company gathering".split()),
          ["AO0", "G", "AH1", "S", "T"]),
+    ]),
+    # ---- round-5b additions ----
+    "does": (["D", "AH1", "Z"], [  # auxiliary verb default
+        (frozenset(
+            "deer doe fawn fawns stag stags antlers graze grazed grazing "
+            "meadow herd".split()),
+         ["D", "OW1", "Z"]),  # plural of doe
+    ]),
+    "sewer": (["S", "UW1", "ER0"], [  # drain default
+        (frozenset(
+            "sew sews sewing sewed seamstress needle needles thread "
+            "threads stitch stitches stitching tailor quilt".split()),
+         ["S", "OW1", "ER0"]),  # one who sews
+    ]),
+    "polish": (["P", "AA1", "L", "IH0", "SH"], [  # shine default (lowercased)
+        (frozenset(
+            "poland warsaw krakow language sausage accent immigrant "
+            "immigrants".split()),
+         ["P", "OW1", "L", "IH0", "SH"]),
+    ]),
+    "lima": (["L", "IY1", "M", "AH0"], [  # the city default
+        (frozenset("bean beans".split()), ["L", "AY1", "M", "AH0"]),
     ]),
 }
 

@@ -321,6 +321,70 @@ def test_homograph_round5_goldens(text, word_phones):
 @pytest.mark.parametrize(
     "text,word_phones",
     [
+        # ---- round-5b expansion goldens (toward g2p_en's ~400 entries) ----
+        ("the concert begins at eight", "K AA1 N S ER0 T"),
+        ("to detail the plan", "D IH0 T EY1 L"),
+        ("the details were murky", "D IY1 T EY0 L Z"),
+        ("the intern filed the report", "IH1 N T ER0 N"),
+        ("they intern the students at the clinic", "IH0 N T ER1 N"),
+        ("to transform the data", "T R AE0 N S F AO1 R M"),
+        ("reset the router", "R IY0 S EH1 T"),
+        ("a reset of expectations", "R IY1 S EH2 T"),
+        ("to underestimate the risk", "AH2 N D ER0 EH1 S T AH0 M EY2 T"),
+        ("the light was diffuse", "D IH0 F Y UW1 S"),
+        ("chemicals diffuse through the membrane", "D IH0 F Y UW1 Z"),
+        ("an excerpt from the novel", "EH1 K S ER2 P T"),
+        ("a relapse of the illness", "R IY1 L AE0 P S"),
+        ("they recoil in horror", "R IH0 K OY1 L"),
+        ("to affiliate with the union", "AH0 F IH1 L IY0 EY2 T"),
+        ("a birth certificate", "S ER0 T IH1 F IH0 K AH0 T"),
+        ("the confederate army", "K AH0 N F EH1 D ER0 AH0 T"),
+        ("a media conglomerate", "K AH0 N G L AA1 M ER0 AH0 T"),
+        ("her consummate skill", "K AA1 N S AH0 M AH0 T"),
+        ("a civil discourse", "D IH1 S K AO2 R S"),
+        ("to downgrade the rating", "D AW2 N G R EY1 D"),
+        ("the interchange was crowded", "IH1 N T ER0 CH EY2 N JH"),
+        ("evidence of misconduct", "M IH0 S K AA1 N D AH0 K T"),
+        ("a mismatch in skill", "M IH1 S M AE2 CH"),
+        ("to overload the circuit", "OW2 V ER0 L OW1 D"),
+        ("the overload tripped the breaker", "OW1 V ER0 L OW2 D"),
+        ("they pontificate endlessly", "P AA0 N T IH1 F IH0 K EY2 T"),
+        ("the precipitate formed in the beaker",
+         "P R IH0 S IH1 P IH0 T AH0 T"),
+        ("to precipitate a crisis", "P R IH0 S IH1 P IH0 T EY2 T"),
+        ("the purport of the letter", "P ER1 P AO2 R T"),
+        ("to subcontract the work", "S AH2 B K AH0 N T R AE1 K T"),
+        ("to undercut the price", "AH2 N D ER0 K AH1 T"),
+        ("underline the key phrase", "AH2 N D ER0 L AY1 N"),
+        ("an expatriate community", "EH0 K S P EY1 T R IY0 AH0 T"),
+        ("god incarnate", "IH0 N K AA1 R N AH0 T"),
+        ("to intercept the pass", "IH2 N T ER0 S EH1 P T"),
+        ("the intercept point", "IH1 N T ER0 S EH2 P T"),
+        ("an overhang of rock", "OW1 V ER0 HH AE2 NG"),
+        # context-keyword additions (_CONTEXT_HOMOGRAPHS)
+        ("the does and fawns grazed in the meadow", "D OW1 Z"),
+        ("what does it mean", "D AH1 Z"),
+        ("the sewer overflowed", "S UW1 ER0"),
+        ("the seamstress is a fine sewer with needle and thread",
+         "S OW1 ER0"),
+        ("shoe polish", "P AA1 L IH0 SH"),
+        ("the polish spoken in warsaw", "P OW1 L IH0 SH"),
+        ("lima beans", "L AY1 M AH0"),
+        ("the flight to lima", "L IY1 M AH0"),
+    ],
+)
+def test_homograph_round5b_goldens(text, word_phones):
+    """Golden sentences for the round-5b homograph additions (inventory
+    grown past 350 toward g2p_en's ~400-entry table; reference:
+    data_utils/text_processor.py:95-102)."""
+    g2p = EnG2p()
+    stream = " ".join(g2p(text))
+    assert word_phones in stream, f"{text!r} -> {stream!r}"
+
+
+@pytest.mark.parametrize(
+    "text,word_phones",
+    [
         # noun/noun context-keyword homographs (_CONTEXT_HOMOGRAPHS)
         ("he plays the bass guitar", "B EY1 S"),
         ("they caught a bass in the lake", "B AE1 S"),
