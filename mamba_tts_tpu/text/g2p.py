@@ -1086,6 +1086,14 @@ _HOMOGRAPHS = {
         True),
     "underline": (["AH2", "N", "D", "ER0", "L", "AY1", "N"],
                   ["AH1", "N", "D", "ER0", "L", "AY2", "N"], True),
+    # ---- round-5c additions ----
+    "absent": (["AE0", "B", "S", "EH1", "N", "T"],
+               ["AE1", "B", "S", "AH0", "N", "T"], False),
+    "alloy": (["AH0", "L", "OY1"], ["AE1", "L", "OY2"], False),
+    "alloys": (["AH0", "L", "OY1", "Z"], ["AE1", "L", "OY2", "Z"], False),
+    "excise": (["EH0", "K", "S", "AY1", "Z"],
+               ["EH1", "K", "S", "AY0", "Z"], False),
+    "mouth": (["M", "AW1", "DH"], ["M", "AW1", "TH"], False),
 }
 
 # Tense-sensitive homographs: spelled identically in present and past
@@ -1099,6 +1107,73 @@ _TENSE_HOMOGRAPHS = {
                 ["M", "IH0", "S", "R", "EH1", "D"]),
     "proofread": (["P", "R", "UW1", "F", "R", "IY2", "D"],
                   ["P", "R", "UW1", "F", "R", "EH2", "D"]),
+}
+
+# -ed adjective/participle homographs (round 5c): the adjectival reading
+# keeps a syllabic /-ɪd/ ("a learned scholar", "the blessed virgin") while
+# the verbal past/participle reduces to /t,d/ ("she learned French", "he was
+# blessed with talent").  pos_lite's verb/noun axis mis-fires here — after a
+# copula ("was blessed with") the VERBAL form is correct although "was" is a
+# noun cue — so these get their own positional rule (ed_adj_context):
+# attributive position (after a determiner/possessive/intensifier, or
+# sentence-initial before a content word) selects the adjective.
+# word -> (verb_pron, adjective_pron)
+_ED_ADJ_HOMOGRAPHS = {
+    "learned": (["L", "ER1", "N", "D"], ["L", "ER1", "N", "IH0", "D"]),
+    "blessed": (["B", "L", "EH1", "S", "T"],
+                ["B", "L", "EH1", "S", "IH0", "D"]),
+    "cursed": (["K", "ER1", "S", "T"], ["K", "ER1", "S", "IH0", "D"]),
+    "aged": (["EY1", "JH", "D"], ["EY1", "JH", "IH0", "D"]),
+    "beloved": (["B", "IH0", "L", "AH1", "V", "D"],
+                ["B", "IH0", "L", "AH1", "V", "IH0", "D"]),
+    "crooked": (["K", "R", "UH1", "K", "T"],
+                ["K", "R", "UH1", "K", "AH0", "D"]),
+    "dogged": (["D", "AO1", "G", "D"], ["D", "AO1", "G", "IH0", "D"]),
+    "ragged": (["R", "AE1", "G", "D"], ["R", "AE1", "G", "AH0", "D"]),
+    "jagged": (["JH", "AE1", "G", "D"], ["JH", "AE1", "G", "AH0", "D"]),
+    "wicked": (["W", "IH1", "K", "T"], ["W", "IH1", "K", "AH0", "D"]),
+}
+
+# Attributive-position cues for ed_adj_context: after any of these an -ed
+# form cannot be a finite verb, so the adjectival /-ɪd/ reading is safe.
+_ED_DET_CUES = frozenset(
+    "the a an my your his her its our their this that these those some "
+    "most more very so too quite such rather".split()
+)
+# Function words that a sentence-initial attributive adjective cannot
+# directly precede ("Blessed are the meek" keeps the verbal form; "Learned
+# men say" is attributive).
+_ED_FUNCTION_WORDS = frozenset(
+    "the a an and or but is are was were been be am to of in on at by with "
+    "for from as that this it he she they we you i him her them us me so "
+    "not no than then when while if because after before into over under "
+    "about up down out off again once here there all any both each few "
+    "other such only very too quite well".split()
+)
+
+
+def ed_adj_context(words: Sequence[str], i: int) -> bool:
+    """True when an _ED_ADJ_HOMOGRAPHS word reads as the /-ɪd/ ADJECTIVE."""
+    prev = words[i - 1].lower().replace("'", "") if i > 0 else None
+    if prev in _ED_DET_CUES:
+        return True  # "the aged", "his dogged pursuit", "very learned"
+    if prev is None:
+        nxt = words[i + 1].lower() if i + 1 < len(words) else None
+        return (nxt is not None and re.search("[a-z]", nxt) is not None
+                and nxt not in _ED_FUNCTION_WORDS
+                and not (nxt.endswith("ly") and nxt != "family"))
+    return False  # predicative/verbal: "she learned French", "was blessed"
+
+
+# Pronunciation devoices before an immediately following "to": "used to"
+# /Y UW1 S T/, "supposed to" /S AH0 P OW1 S T/ (the infinitive-marker
+# collocation, not the plain verb).  word -> (pron_before_to, default_pron)
+_TO_HOMOGRAPHS = {
+    "used": (["Y", "UW1", "S", "T"], ["Y", "UW1", "Z", "D"]),
+    "unused": (["AH0", "N", "Y", "UW1", "S", "T"],
+               ["AH0", "N", "Y", "UW1", "Z", "D"]),
+    "supposed": (["S", "AH0", "P", "OW1", "S", "T"],
+                 ["S", "AH0", "P", "OW1", "Z", "D"]),
 }
 
 # Noun/noun (or noun/adjective) homographs that the verb-vs-other POS-lite
@@ -1230,7 +1305,8 @@ _NOUN_CUES = frozenset(
 # sentence breaks lean noun.
 _OBJECT_CUES = frozenset(
     "the a an my your his her its our their this that these those me him "
-    "them us it something anything everything someone anyone".split()
+    "them us it something anything everything someone anyone myself "
+    "yourself himself herself itself ourselves themselves".split()
 )
 
 
@@ -1493,6 +1569,17 @@ class EnG2p:
             elif lower in _TENSE_HOMOGRAPHS:
                 present, past = _TENSE_HOMOGRAPHS[lower]
                 pron = list(past if past_context(words, i) else present)
+                self.n_lexicon += 1
+            elif lower in _ED_ADJ_HOMOGRAPHS:
+                verb_pron, adj_pron = _ED_ADJ_HOMOGRAPHS[lower]
+                pron = list(
+                    adj_pron if ed_adj_context(words, i) else verb_pron
+                )
+                self.n_lexicon += 1
+            elif lower in _TO_HOMOGRAPHS:
+                before_to, default_pron = _TO_HOMOGRAPHS[lower]
+                nxt = words[i + 1].lower() if i + 1 < len(words) else None
+                pron = list(before_to if nxt == "to" else default_pron)
                 self.n_lexicon += 1
             elif lower in _CONTEXT_HOMOGRAPHS:
                 default_pron, cues = _CONTEXT_HOMOGRAPHS[lower]

@@ -385,6 +385,55 @@ def test_homograph_round5b_goldens(text, word_phones):
 @pytest.mark.parametrize(
     "text,word_phones",
     [
+        # -ed adjective (/-ɪd/) vs verbal past (/t,d/): ed_adj_context
+        ("a learned scholar spoke", "L ER1 N IH0 D"),
+        ("she learned french quickly", "L ER1 N D"),
+        ("the blessed virgin smiled", "B L EH1 S IH0 D"),
+        ("he was blessed with talent", "B L EH1 S T"),
+        ("the aged oak fell", "EY1 JH IH0 D"),
+        ("the wine aged well", "EY1 JH D"),
+        ("care for the aged", "EY1 JH IH0 D"),
+        ("his dogged pursuit paid off", "D AO1 G IH0 D"),
+        ("injuries dogged the team", "D AO1 G D"),
+        ("my beloved wife", "B IH0 L AH1 V IH0 D"),
+        ("beloved by all who knew him", "B IH0 L AH1 V D"),
+        ("a crooked smile", "K R UH1 K AH0 D"),
+        ("he crooked his finger", "K R UH1 K T"),
+        ("the wicked witch laughed", "W IH1 K AH0 D"),
+        ("a jagged edge", "JH AE1 G AH0 D"),
+        ("the ragged coat", "R AE1 G AH0 D"),
+        ("the cursed ring", "K ER1 S IH0 D"),
+        ("she cursed loudly", "K ER1 S T"),
+        # devoicing before the infinitive marker (_TO_HOMOGRAPHS)
+        ("i used to walk here", "Y UW1 S T"),
+        ("she used the hammer", "Y UW1 Z D"),
+        ("you are supposed to call", "S AH0 P OW1 S T"),
+        ("it was supposed that he left", "S AH0 P OW1 Z D"),
+        ("he was unused to the cold", "AH0 N Y UW1 S T"),
+        ("the tools lay unused for years", "AH0 N Y UW1 Z D"),
+        # round-5c noun/verb stress pairs
+        ("soldiers absent themselves from duty", "AE0 B S EH1 N T"),
+        ("he was absent from school", "AE1 B S AH0 N T"),
+        ("a strong alloy of steel", "AE1 L OY2"),
+        ("an excise tax", "EH1 K S AY0 Z"),
+        ("excise the tumor carefully", "EH0 K S AY1 Z"),
+        ("do not mouth the words", "M AW1 DH"),
+        ("open your mouth wide", "M AW1 TH"),
+    ],
+)
+def test_homograph_round5c_goldens(text, word_phones):
+    """Golden sentences for the round-5c homograph families: -ed
+    adjective/participle pairs (learned, blessed, aged, ...), used/supposed
+    devoicing before "to", and four noun/verb stress pairs (reference role:
+    data_utils/text_processor.py:95-102 via g2p_en's homograph table)."""
+    g2p = EnG2p()
+    stream = " ".join(g2p(text))
+    assert word_phones in stream, f"{text!r} -> {stream!r}"
+
+
+@pytest.mark.parametrize(
+    "text,word_phones",
+    [
         # noun/noun context-keyword homographs (_CONTEXT_HOMOGRAPHS)
         ("he plays the bass guitar", "B EY1 S"),
         ("they caught a bass in the lake", "B AE1 S"),
@@ -411,11 +460,27 @@ def test_homograph_inventory_scale():
     """The homograph inventory is ~250 entries (VERDICT r4 #4; g2p_en's
     table has ~400 backed by full nltk POS tagging)."""
     from mamba_tts_tpu.text.g2p import (
-        _CONTEXT_HOMOGRAPHS, _HOMOGRAPHS, _TENSE_HOMOGRAPHS,
+        _CONTEXT_HOMOGRAPHS, _ED_ADJ_HOMOGRAPHS, _HOMOGRAPHS,
+        _TENSE_HOMOGRAPHS, _TO_HOMOGRAPHS,
     )
 
-    n = len(_HOMOGRAPHS) + len(_TENSE_HOMOGRAPHS) + len(_CONTEXT_HOMOGRAPHS)
-    assert n >= 250, n
+    n = (len(_HOMOGRAPHS) + len(_TENSE_HOMOGRAPHS)
+         + len(_CONTEXT_HOMOGRAPHS) + len(_ED_ADJ_HOMOGRAPHS)
+         + len(_TO_HOMOGRAPHS))
+    assert n >= 360, n
+
+
+def test_ed_adj_to_homograph_prons_in_vocab():
+    """Round-5c table pronunciations emit only in-vocab phonemes."""
+    import json
+
+    from mamba_tts_tpu.text.g2p import _ED_ADJ_HOMOGRAPHS, _TO_HOMOGRAPHS
+
+    vocab = set(json.load(open("phoneme_vocab.json")))
+    for table in (_ED_ADJ_HOMOGRAPHS, _TO_HOMOGRAPHS):
+        for word, (a, b) in table.items():
+            for ph in list(a) + list(b):
+                assert ph in vocab, f"{word}: {ph} not in vocab"
 
 
 def test_context_tense_homograph_prons_in_vocab():
