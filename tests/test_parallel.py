@@ -105,20 +105,21 @@ def test_sp_scan_wired_into_model_loss_and_grad_parity():
     from mamba_tts_tpu.train.train import init_params
 
     # Shapes shrunk round 5 (VERDICT r4 #7: this test was 101 s): one decoder
-    # layer exercises the sp wiring identically; flat T stays 40 (% 8 == 0).
+    # layer at d_model=32 exercises the sp wiring identically (it compiles
+    # TWO full value_and_grad graphs); flat T stays 40 (% 8 == 0).
     cfg = cl.TTSConfig(
         decoder=cl.DecoderConfig(
-            d_model=64, n_layers=1, n_heads=4, d_ff=64, d_style=32, max_len=256,
-            num_quantizers=5, mamba=cl.MambaConfig(d_model=64, d_state=4),
+            d_model=32, n_layers=1, n_heads=2, d_ff=32, d_style=16, max_len=256,
+            num_quantizers=5, mamba=cl.MambaConfig(d_model=32, d_state=4),
             dtype="bfloat16", scan_chunk=8,
         ),
         text_encoder=cl.TextEncoderConfig(
-            vocab_size=79, d_model=64, n_layers=1, n_heads=2, d_k=16, d_v=16,
-            d_inner=64, dtype="bfloat16",
+            vocab_size=79, d_model=32, n_layers=1, n_heads=2, d_k=16, d_v=16,
+            d_inner=32, dtype="bfloat16",
         ),
-        duration=cl.DurationPredictorConfig(d_model=64, filter_size=32, dtype="bfloat16"),
-        smsd=cl.SMSDConfig(bert_dim=64, style_dim=32, num_mixtures=3, hidden_dim=48),
-        style=cl.StylePipelineConfig(d_style=32, d_model=64, num_heads=4, dtype="bfloat16"),
+        duration=cl.DurationPredictorConfig(d_model=32, filter_size=16, dtype="bfloat16"),
+        smsd=cl.SMSDConfig(bert_dim=32, style_dim=16, num_mixtures=2, hidden_dim=24),
+        style=cl.StylePipelineConfig(d_style=16, d_model=32, num_heads=2, dtype="bfloat16"),
     )
     cfg_sp = cl.override(cfg, "decoder.use_sp_scan", True)
     mesh = make_mesh((8,), ("data",))
@@ -188,32 +189,113 @@ def test_use_sp_scan_without_mesh_raises():
 
 
 @needs_8
-def test_full_train_step_on_mesh():
-    """The graft-entry multichip dry run as a pytest (full MambaTTS step).
+def test_full_train_step_on_mesh(tmp_path):
+    """Full MambaTTS train step jitted over a 2x2 dp x tp mesh (placed
+    params, dp batch sharding), then the multi-chip RESUME semantics on the
+    SAME compiled step: save orbax mid-run, restore into a differently
+    seeded placed init, and the post-restore step must reproduce the
+    reference loss to 1e-5.
 
-    Runs the 4-device dry run only (VERDICT r4 #7: the 8+4 sequential pair
-    was 329 s, and round 5 added the checkpoint round-trip to every dry
-    run).  The 4-device run exercises the identical code path on a 2x2
-    dp x tp mesh; every 8-device surface has its own dedicated test in
-    this file (sp parity, sharded checkpointing, sharded serving), and the
-    driver executes dryrun_multichip(8) directly for MULTICHIP_r*.json."""
-    import __graft_entry__ as g
+    This is the suite-side slice of ``__graft_entry__.dryrun_multichip``
+    with exactly ONE train-graph lowering (VERDICT r4 #7: running the whole
+    dry run here cost three lowerings / 244 s on the one-core container).
+    The surfaces it omits each have a dedicated 8-device test in this file
+    (sp-scan parity standalone AND wired-with-grads, state/resharding
+    round-trip, sharded serving), and the driver executes
+    dryrun_multichip(8) directly for MULTICHIP_r*.json."""
+    from mamba_tts_tpu import config as cl
+    from mamba_tts_tpu.models.tts import MambaTTS
+    from mamba_tts_tpu.train import state as state_lib
+    from mamba_tts_tpu.train.train import init_params, make_train_step
+    from jax.sharding import NamedSharding
 
-    g.dryrun_multichip(4)
+    cfg = cl.TTSConfig(
+        decoder=cl.DecoderConfig(
+            d_model=64, n_layers=1, n_heads=4, d_ff=128, d_style=32, max_len=256,
+            num_quantizers=5, mamba=cl.MambaConfig(d_model=64, d_state=4),
+            dtype="bfloat16", scan_chunk=8,
+        ),
+        text_encoder=cl.TextEncoderConfig(
+            vocab_size=79, d_model=64, n_layers=1, n_heads=2, d_k=16, d_v=16,
+            d_inner=128, dtype="bfloat16",
+        ),
+        duration=cl.DurationPredictorConfig(d_model=64, filter_size=32, dtype="bfloat16"),
+        smsd=cl.SMSDConfig(bert_dim=64, style_dim=32, num_mixtures=3, hidden_dim=48),
+        style=cl.StylePipelineConfig(d_style=32, d_model=64, num_heads=4, dtype="bfloat16"),
+    )
+    mesh = make_mesh((2, 2), ("data", "model"), devices=jax.devices()[:4])
+    model = MambaTTS(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    tx = state_lib.make_optimizer(cfg.train.lr, cfg.train.grad_clip_norm)
+    train_step = make_train_step(model, tx)
+
+    B, L, S, Q = 4, 6, 8, cfg.decoder.num_quantizers
+    lo, hi = cfg.decoder.num_special_tokens, cfg.decoder.vocab_size_audio
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    batch = {
+        "phoneme_ids": jax.random.randint(ks[0], (B, L), 1, cfg.text_encoder.vocab_size),
+        "text_mask": jnp.ones((B, L), bool),
+        "style_bert": jax.random.normal(ks[1], (B, cfg.smsd.bert_dim)),
+        "spk_embs": jax.random.normal(ks[2], (B, cfg.smsd.style_dim)),
+        "target_codec": jax.random.randint(ks[3], (B, S, Q), lo, hi),
+        "target_frames": jnp.full((B,), S, jnp.int32),
+        "voice_codec": jax.random.randint(ks[4], (B, S, Q), lo, hi),
+    }
+
+    params = jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tx.init(params)
+    )
+    batch = shard_batch(batch, mesh)
+    with mesh:
+        params, opt_state, losses = train_step(
+            params, opt_state, batch, jax.random.PRNGKey(1)
+        )
+        losses = {k: float(v) for k, v in jax.device_get(losses).items()}
+    assert all(np.isfinite(v) for v in losses.values()), f"non-finite: {losses}"
+
+    # resume-at-scale on the same compiled step: save, then the reference
+    # next step from memory vs the next step from a restored fresh init
+    ck = str(tmp_path / "ckpt")
+    state_lib.save_checkpoint(
+        ck, state_lib.TrainState(step=1, params=params, opt_state=opt_state)
+    )
+    with mesh:
+        _, _, loss_mem = train_step(params, opt_state, batch, jax.random.PRNGKey(2))
+        loss_mem = float(jax.device_get(loss_mem["loss_total"]))
+
+    fresh = init_params(model, cfg, jax.random.PRNGKey(9))
+    fresh = jax.tree.map(jax.device_put, fresh, param_shardings(fresh, mesh))
+    st = state_lib.TrainState(
+        step=0, params=fresh,
+        opt_state=jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), tx.init(fresh)
+        ),
+    )
+    st, ok = state_lib.restore_checkpoint(ck, st)
+    assert ok and st.step == 1
+    with mesh:
+        _, _, loss_res = train_step(st.params, st.opt_state, batch, jax.random.PRNGKey(2))
+        loss_res = float(jax.device_get(loss_res["loss_total"]))
+    assert abs(loss_res - loss_mem) < 1e-5, f"{loss_res} vs {loss_mem}"
 
 
 @needs_8
 def test_sharded_checkpoint_roundtrip(tmp_path):
     """Save orbax under a dp x tp mesh, restore into freshly
     NamedSharding-placed params (same mesh AND a transposed mesh shape),
-    and assert post-restore train-step loss parity — the actual multi-chip
-    resume path (VERDICT r4 #5).  2x2 mesh over 4 of the 8 virtual devices:
-    the resharding semantics are device-count independent and the container
-    has ONE physical core, so fewer virtual devices = less lowering."""
+    and assert the restored state — params, optimizer moments, step — round
+    -trips exactly and keeps the target's NamedSharding placement: the
+    actual multi-chip resume path (VERDICT r4 #5).  Post-restore TRAIN-STEP
+    loss parity for the same flow is asserted by
+    ``__graft_entry__._dryrun_ckpt_roundtrip`` (run here via
+    test_full_train_step_on_mesh); this test skips the full train-graph
+    compile (it was 143 s of duplicate lowering on the one-core container)
+    and instead pins the state/resharding semantics directly."""
     from mamba_tts_tpu import config as cl
     from mamba_tts_tpu.models.tts import MambaTTS
     from mamba_tts_tpu.train import state as state_lib
-    from mamba_tts_tpu.train.train import init_params, make_train_step
+    from mamba_tts_tpu.train.train import init_params
     from jax.sharding import NamedSharding
 
     cfg = cl.TTSConfig(
@@ -234,42 +316,30 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     model = MambaTTS(cfg)
     params = init_params(model, cfg, jax.random.PRNGKey(0))
     tx = state_lib.make_optimizer(1e-4)
-    train_step = make_train_step(model, tx)
 
-    B, L, S, Q = 4, 6, 8, cfg.decoder.num_quantizers
-    lo, hi = cfg.decoder.num_special_tokens, cfg.decoder.vocab_size_audio
-    ks = jax.random.split(jax.random.PRNGKey(1), 5)
-    batch = {
-        "phoneme_ids": jax.random.randint(ks[0], (B, L), 1, cfg.text_encoder.vocab_size),
-        "text_mask": jnp.ones((B, L), bool),
-        "style_bert": jax.random.normal(ks[1], (B, cfg.smsd.bert_dim)),
-        "spk_embs": jax.random.normal(ks[2], (B, cfg.smsd.style_dim)),
-        "target_codec": jax.random.randint(ks[3], (B, S, Q), lo, hi),
-        "target_frames": jnp.full((B,), S, jnp.int32),
-        "voice_codec": jax.random.randint(ks[4], (B, S, Q), lo, hi),
-    }
+    # build a NON-trivial opt_state (one optax update so Adam moments are
+    # distinguishable from zeros) UNPLACED first — eager per-leaf ops on
+    # mesh-sharded leaves each compile a tiny SPMD executable (29 s measured)
+    # while single-device eager ops are shape-cached — then place + save
+    import optax
 
-    # place + one step under the mesh, then save
+    opt_state = tx.init(params)
+    grads = jax.tree.map(lambda x: jnp.ones_like(x) * 0.01, params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
     params = jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
     opt_state = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tx.init(params)
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), opt_state
     )
-    batch = shard_batch(batch, mesh)
-    with mesh:
-        params, opt_state, _ = train_step(params, opt_state, batch, jax.random.PRNGKey(1))
     ck = str(tmp_path / "ckpt")
     state_lib.save_checkpoint(
         ck, state_lib.TrainState(step=1, params=params, opt_state=opt_state)
     )
-    # host snapshot BEFORE the next step: train_step donates params/opt_state
     params_host = jax.device_get(params)
+    opt_host = jax.device_get(opt_state)
 
-    # reference: one more step from the in-memory state
-    with mesh:
-        _, _, loss_mem = train_step(params, opt_state, batch, jax.random.PRNGKey(2))
-        loss_mem = float(jax.device_get(loss_mem["loss_total"]))
-
-    # (a) same-mesh resume from a DIFFERENTLY-seeded placed init
+    # (a) same-mesh resume from a DIFFERENTLY-seeded placed init: params AND
+    # optimizer moments must round-trip exactly, on the target's placement
     fresh = init_params(model, cfg, jax.random.PRNGKey(9))
     fresh = jax.tree.map(jax.device_put, fresh, param_shardings(fresh, mesh))
     st = state_lib.TrainState(
@@ -283,10 +353,14 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     # restored leaves keep the NamedSharding placement of the target
     in_proj = st.params["decoder"]["layer_0"]["mamba"]["in_proj"]["kernel"]
     assert in_proj.sharding.spec == P(None, "model")
-    with mesh:
-        _, _, loss_res = train_step(st.params, st.opt_state, batch, jax.random.PRNGKey(2))
-        loss_res = float(jax.device_get(loss_res["loss_total"]))
-    assert abs(loss_res - loss_mem) < 1e-5, f"{loss_res} vs {loss_mem}"
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params_host, jax.device_get(st.params),
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        opt_host, jax.device_get(st.opt_state),
+    )
 
     # (b) reshaped-mesh restore (elastic resume 2x2 -> 4x2): values must
     # round-trip exactly despite the resharding
@@ -295,6 +369,8 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     fresh2 = jax.tree.map(jax.device_put, fresh2, param_shardings(fresh2, mesh2))
     restored2, ok2 = state_lib.restore_params(ck, fresh2)
     assert ok2
+    in_proj2 = restored2["decoder"]["layer_0"]["mamba"]["in_proj"]["kernel"]
+    assert in_proj2.sharding.spec == P(None, "model")
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         params_host, jax.device_get(restored2),
@@ -327,7 +403,7 @@ def test_sharded_batch_serving_matches_single_device(monkeypatch):
 
     synth = load_synthesizer(cfg)
     synth_dp = load_synthesizer(cfg, mesh=mesh)  # same seed => same weights
-    B = n - 2  # pads to n by repeating the last row, trims after
+    B = 3  # 3 rows on 8 shards: pads to n by repeating the last row, trims after
     texts = [f"hello world number {i}" for i in range(B)]
     styles = ["calm"] * B
     sr = cfg.codec.sample_rate
@@ -335,10 +411,10 @@ def test_sharded_batch_serving_matches_single_device(monkeypatch):
     voices = [(0.3 * np.sin(2 * np.pi * (180.0 + 20 * i) * t)).astype(np.float32)
               for i in range(B)]
 
-    wav_dp, info = synth_dp.synthesize_batch(texts, styles, voices, frames=64)
+    wav_dp, info = synth_dp.synthesize_batch(texts, styles, voices, frames=32)
     assert wav_dp.shape[0] == B
     for i in range(B):
-        wav_1, _ = synth.synthesize(texts[i], styles[i], voices[i], frames=64)
+        wav_1, _ = synth.synthesize(texts[i], styles[i], voices[i], frames=32)
         np.testing.assert_allclose(
             wav_dp[i][: len(wav_1)], wav_1, atol=2e-4,
             err_msg=f"row {i} diverged from the single-device decode",

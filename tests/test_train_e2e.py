@@ -47,10 +47,12 @@ def test_compute_losses_and_grads(tiny_cfg):
     batch = _fake_batch(tiny_cfg)
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
             "noise": jax.random.PRNGKey(2)}
-    variables = model.init(
+    # jit init and value_and_grad: ONE deopt XLA compile each beats eager
+    # per-op dispatch of the full graph ~3x on the one-core container
+    variables = jax.jit(lambda: model.init(
         rngs, batch, jax.random.PRNGKey(3), use_nar_branch=True,
         method=MambaTTS.compute_losses,
-    )
+    ))()
 
     def loss_fn(params):
         out = model.apply(
@@ -59,7 +61,8 @@ def test_compute_losses_and_grads(tiny_cfg):
         )
         return out["loss_total"], out
 
-    (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    (loss, parts), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(variables["params"])
     assert np.isfinite(float(loss))
     for k in ("loss_codec", "loss_dur", "loss_smsd"):
         assert np.isfinite(float(parts[k])), k
