@@ -177,6 +177,28 @@ def test_use_sp_scan_without_mesh_raises():
         dec.init(jax.random.PRNGKey(0), tokens, text, z)
 
 
+def _mesh_tts_cfg():
+    """One shared config for the dp x tp mesh tests: flax/jax cache jitted
+    executables by (module fields, shapes), so the SECOND test using this
+    exact config gets warm init/apply compiles within the suite process."""
+    from mamba_tts_tpu import config as cl
+
+    return cl.TTSConfig(
+        decoder=cl.DecoderConfig(
+            d_model=64, n_layers=1, n_heads=4, d_ff=128, d_style=32, max_len=256,
+            num_quantizers=5, mamba=cl.MambaConfig(d_model=64, d_state=4),
+            dtype="bfloat16", scan_chunk=8,
+        ),
+        text_encoder=cl.TextEncoderConfig(
+            vocab_size=79, d_model=64, n_layers=1, n_heads=2, d_k=16, d_v=16,
+            d_inner=128, dtype="bfloat16",
+        ),
+        duration=cl.DurationPredictorConfig(d_model=64, filter_size=32, dtype="bfloat16"),
+        smsd=cl.SMSDConfig(bert_dim=64, style_dim=32, num_mixtures=3, hidden_dim=48),
+        style=cl.StylePipelineConfig(d_style=32, d_model=64, num_heads=4, dtype="bfloat16"),
+    )
+
+
 @needs_8
 def test_full_train_step_on_mesh(tmp_path):
     """Full MambaTTS train step jitted over a 2x2 dp x tp mesh (placed
@@ -198,20 +220,7 @@ def test_full_train_step_on_mesh(tmp_path):
     from mamba_tts_tpu.train.train import init_params, make_train_step
     from jax.sharding import NamedSharding
 
-    cfg = cl.TTSConfig(
-        decoder=cl.DecoderConfig(
-            d_model=64, n_layers=1, n_heads=4, d_ff=128, d_style=32, max_len=256,
-            num_quantizers=5, mamba=cl.MambaConfig(d_model=64, d_state=4),
-            dtype="bfloat16", scan_chunk=8,
-        ),
-        text_encoder=cl.TextEncoderConfig(
-            vocab_size=79, d_model=64, n_layers=1, n_heads=2, d_k=16, d_v=16,
-            d_inner=128, dtype="bfloat16",
-        ),
-        duration=cl.DurationPredictorConfig(d_model=64, filter_size=32, dtype="bfloat16"),
-        smsd=cl.SMSDConfig(bert_dim=64, style_dim=32, num_mixtures=3, hidden_dim=48),
-        style=cl.StylePipelineConfig(d_style=32, d_model=64, num_heads=4, dtype="bfloat16"),
-    )
+    cfg = _mesh_tts_cfg()
     mesh = make_mesh((2, 2), ("data", "model"), devices=jax.devices()[:4])
     model = MambaTTS(cfg)
     params = init_params(model, cfg, jax.random.PRNGKey(0))
@@ -277,30 +286,18 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     -trips exactly and keeps the target's NamedSharding placement: the
     actual multi-chip resume path (VERDICT r4 #5).  Post-restore TRAIN-STEP
     loss parity for the same flow is asserted by
-    ``__graft_entry__._dryrun_ckpt_roundtrip`` (run here via
-    test_full_train_step_on_mesh); this test skips the full train-graph
-    compile (it was 143 s of duplicate lowering on the one-core container)
-    and instead pins the state/resharding semantics directly."""
-    from mamba_tts_tpu import config as cl
+    test_full_train_step_on_mesh on its one compiled step (and every round
+    by the driver via ``__graft_entry__._dryrun_ckpt_roundtrip``); this test
+    skips the full train-graph compile (it was 143 s of duplicate lowering
+    on the one-core container) and pins the state/resharding semantics
+    directly.  Uses the SAME config as test_full_train_step_on_mesh so its
+    init compile is warm within the suite process."""
     from mamba_tts_tpu.models.tts import MambaTTS
     from mamba_tts_tpu.train import state as state_lib
     from mamba_tts_tpu.train.train import init_params
     from jax.sharding import NamedSharding
 
-    cfg = cl.TTSConfig(
-        decoder=cl.DecoderConfig(
-            d_model=32, n_layers=1, n_heads=2, d_ff=64, d_style=16, max_len=128,
-            num_quantizers=5, mamba=cl.MambaConfig(d_model=32, d_state=4),
-            dtype="bfloat16", scan_chunk=8,
-        ),
-        text_encoder=cl.TextEncoderConfig(
-            vocab_size=79, d_model=32, n_layers=1, n_heads=2, d_k=16, d_v=16,
-            d_inner=64, dtype="bfloat16",
-        ),
-        duration=cl.DurationPredictorConfig(d_model=32, filter_size=16, dtype="bfloat16"),
-        smsd=cl.SMSDConfig(bert_dim=32, style_dim=16, num_mixtures=2, hidden_dim=24),
-        style=cl.StylePipelineConfig(d_style=16, d_model=32, num_heads=2, dtype="bfloat16"),
-    )
+    cfg = _mesh_tts_cfg()
     mesh = make_mesh((2, 2), ("data", "model"), devices=jax.devices()[:4])
     model = MambaTTS(cfg)
     params = init_params(model, cfg, jax.random.PRNGKey(0))
