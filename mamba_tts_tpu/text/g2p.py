@@ -1094,6 +1094,99 @@ _HOMOGRAPHS = {
     "excise": (["EH0", "K", "S", "AY1", "Z"],
                ["EH1", "K", "S", "AY0", "Z"], False),
     "mouth": (["M", "AW1", "DH"], ["M", "AW1", "TH"], False),
+    # ---- round-5d additions: inflected forms of existing pairs (prons
+    # derived from the base entries via inflect_s voicing) plus fresh
+    # noun/verb pairs, closing the inventory gap to g2p_en's ~400 table
+    # (reference: data_utils/text_processor.py:95-102).
+    "concerts": (["K", "AH0", "N", "S", "ER1", "T", "S"],
+                 ["K", "AA1", "N", "S", "ER0", "T", "S"], False),
+    "consoles": (["K", "AH0", "N", "S", "OW1", "L", "Z"],
+                 ["K", "AA1", "N", "S", "OW0", "L", "Z"], False),
+    "decoys": (["D", "IH0", "K", "OY1", "Z"],
+               ["D", "IY1", "K", "OY0", "Z"], False),
+    "impresses": (["IH0", "M", "P", "R", "EH1", "S", "IH0", "Z"],
+                  ["IH1", "M", "P", "R", "EH0", "S", "IH0", "Z"], True),
+    "purports": (["P", "ER0", "P", "AO1", "R", "T", "S"],
+                 ["P", "ER1", "P", "AO2", "R", "T", "S"], True),
+    "recoils": (["R", "IH0", "K", "OY1", "L", "Z"],
+                ["R", "IY1", "K", "OY2", "L", "Z"], True),
+    "relapses": (["R", "IH0", "L", "AE1", "P", "S", "IH0", "Z"],
+                 ["R", "IY1", "L", "AE0", "P", "S", "IH0", "Z"], False),
+    "researches": (["R", "IY0", "S", "ER1", "CH", "IH0", "Z"],
+                   ["R", "IY1", "S", "ER0", "CH", "IH0", "Z"], False),
+    "affixes": (["AH0", "F", "IH1", "K", "S", "IH0", "Z"],
+                ["AE1", "F", "IH0", "K", "S", "IH0", "Z"], False),
+    "annexes": (["AH0", "N", "EH1", "K", "S", "IH0", "Z"],
+                ["AE1", "N", "EH2", "K", "S", "IH0", "Z"], False),
+    "misprints": (["M", "IH0", "S", "P", "R", "IH1", "N", "T", "S"],
+                  ["M", "IH1", "S", "P", "R", "IH0", "N", "T", "S"], False),
+    "mismatches": (["M", "IH0", "S", "M", "AE1", "CH", "IH0", "Z"],
+                   ["M", "IH1", "S", "M", "AE2", "CH", "IH0", "Z"], False),
+    "subcontracts": (
+        ["S", "AH2", "B", "K", "AH0", "N", "T", "R", "AE1", "K", "T", "S"],
+        ["S", "AH0", "B", "K", "AA1", "N", "T", "R", "AE0", "K", "T", "S"],
+        False),
+    "downgrades": (["D", "AW2", "N", "G", "R", "EY1", "D", "Z"],
+                   ["D", "AW1", "N", "G", "R", "EY2", "D", "Z"], True),
+    "interchanges": (
+        ["IH2", "N", "T", "ER0", "CH", "EY1", "N", "JH", "IH0", "Z"],
+        ["IH1", "N", "T", "ER0", "CH", "EY2", "N", "JH", "IH0", "Z"], False),
+    "overhangs": (["OW2", "V", "ER0", "HH", "AE1", "NG", "Z"],
+                  ["OW1", "V", "ER0", "HH", "AE2", "NG", "Z"], False),
+    "overruns": (["OW2", "V", "ER0", "R", "AH1", "N", "Z"],
+                 ["OW1", "V", "ER0", "R", "AH2", "N", "Z"], True),
+    "overthrows": (["OW2", "V", "ER0", "TH", "R", "OW1", "Z"],
+                   ["OW1", "V", "ER0", "TH", "R", "OW2", "Z"], True),
+    "rewinds": (["R", "IY0", "W", "AY1", "N", "D", "Z"],
+                ["R", "IY1", "W", "AY2", "N", "D", "Z"], True),
+    "uplifts": (["AH0", "P", "L", "IH1", "F", "T", "S"],
+                ["AH1", "P", "L", "IH2", "F", "T", "S"], True),
+    "conjugates": (["K", "AA1", "N", "JH", "AH0", "G", "EY2", "T", "S"],
+                   ["K", "AA1", "N", "JH", "AH0", "G", "AH0", "T", "S"],
+                   True),
+    "precipitates": (
+        ["P", "R", "IH0", "S", "IH1", "P", "IH0", "T", "EY2", "T", "S"],
+        ["P", "R", "IH0", "S", "IH1", "P", "IH0", "T", "AH0", "T", "S"],
+        True),
+    "buffets": (["B", "AH1", "F", "AH0", "T", "S"],
+                ["B", "AH0", "F", "EY1", "Z"], False),
+    "essay": (["EH0", "S", "EY1"], ["EH1", "S", "EY2"], False),
+    "essays": (["EH0", "S", "EY1", "Z"], ["EH1", "S", "EY2", "Z"], False),
+    "dispatch": (["D", "IH0", "S", "P", "AE1", "CH"],
+                 ["D", "IH1", "S", "P", "AE2", "CH"], True),
+    "dispatches": (["D", "IH0", "S", "P", "AE1", "CH", "IH0", "Z"],
+                   ["D", "IH1", "S", "P", "AE2", "CH", "IH0", "Z"], True),
+    "carbonate": (["K", "AA1", "R", "B", "AH0", "N", "EY2", "T"],
+                  ["K", "AA1", "R", "B", "AH0", "N", "AH0", "T"], False),
+    "carbonates": (["K", "AA1", "R", "B", "AH0", "N", "EY2", "T", "S"],
+                   ["K", "AA1", "R", "B", "AH0", "N", "AH0", "T", "S"],
+                   False),
+    "surrogate": (["S", "ER1", "AH0", "G", "EY2", "T"],
+                  ["S", "ER1", "AH0", "G", "AH0", "T"], False),
+    "regiment": (["R", "EH1", "JH", "AH0", "M", "EH2", "N", "T"],
+                 ["R", "EH1", "JH", "AH0", "M", "AH0", "N", "T"], False),
+    "regiments": (["R", "EH1", "JH", "AH0", "M", "EH2", "N", "T", "S"],
+                  ["R", "EH1", "JH", "AH0", "M", "AH0", "N", "T", "S"],
+                  False),
+    "experiment": (
+        ["IH0", "K", "S", "P", "EH1", "R", "AH0", "M", "EH2", "N", "T"],
+        ["IH0", "K", "S", "P", "EH1", "R", "AH0", "M", "AH0", "N", "T"],
+        False),
+    "experiments": (
+        ["IH0", "K", "S", "P", "EH1", "R", "AH0", "M", "EH2", "N", "T", "S"],
+        ["IH0", "K", "S", "P", "EH1", "R", "AH0", "M", "AH0", "N", "T", "S"],
+        False),
+    # use-family voicing pairs (verb /z/ vs noun /s/), matching use/abuse
+    "reuse": (["R", "IY0", "Y", "UW1", "Z"],
+              ["R", "IY0", "Y", "UW1", "S"], True),
+    "overuse": (["OW2", "V", "ER0", "Y", "UW1", "Z"],
+                ["OW2", "V", "ER0", "Y", "UW1", "S"], False),
+    # Greek-plural vs verb-3sg pairs (noun keeps the /-iːz/ ending)
+    "diagnoses": (["D", "AY2", "AH0", "G", "N", "OW1", "S", "IH0", "Z"],
+                  ["D", "AY2", "AH0", "G", "N", "OW1", "S", "IY0", "Z"],
+                  False),
+    "analyses": (["AE1", "N", "AH0", "L", "AY2", "Z", "IH0", "Z"],
+                 ["AH0", "N", "AE1", "L", "AH0", "S", "IY0", "Z"], False),
 }
 
 # Tense-sensitive homographs: spelled identically in present and past
@@ -1132,13 +1225,18 @@ _ED_ADJ_HOMOGRAPHS = {
     "ragged": (["R", "AE1", "G", "D"], ["R", "AE1", "G", "AH0", "D"]),
     "jagged": (["JH", "AE1", "G", "D"], ["JH", "AE1", "G", "AH0", "D"]),
     "wicked": (["W", "IH1", "K", "T"], ["W", "IH1", "K", "AH0", "D"]),
+    # round-5d: "four legged animal" /-ɪd/ vs "he legged it" /d/
+    "legged": (["L", "EH1", "G", "D"], ["L", "EH1", "G", "AH0", "D"]),
 }
 
 # Attributive-position cues for ed_adj_context: after any of these an -ed
 # form cannot be a finite verb, so the adjectival /-ɪd/ reading is safe.
 _ED_DET_CUES = frozenset(
     "the a an my your his her its our their this that these those some "
-    "most more very so too quite such rather".split()
+    "most more very so too quite such rather "
+    # numerals: "four legged animal", "three dogged attempts" read
+    # attributively
+    "one two three four five six seven eight nine ten".split()
 )
 # Function words that a sentence-initial attributive adjective cannot
 # directly precede ("Blessed are the meek" keeps the verbal form; "Learned
@@ -1223,6 +1321,51 @@ _CONTEXT_HOMOGRAPHS = {
     ]),
     "lima": (["L", "IY1", "M", "AH0"], [  # the city default
         (frozenset("bean beans".split()), ["L", "AY1", "M", "AH0"]),
+    ]),
+    # ---- round-5d additions ----
+    "axes": (["AE1", "K", "S", "IH0", "Z"], [  # plural of axe default
+        (frozenset(
+            "axis coordinate coordinates graph graphs plot plots chart "
+            "charts rotation symmetry vertical horizontal perpendicular "
+            "principal".split()),
+         ["AE1", "K", "S", "IY2", "Z"]),  # plural of axis
+    ]),
+    "bases": (["B", "EY1", "S", "IH0", "Z"], [  # plural of base default
+        (frozenset(
+            "basis theory theories assumption assumptions argument "
+            "arguments hypothesis claim claims belief beliefs reasoning "
+            "flawed shaky".split()),
+         ["B", "EY1", "S", "IY2", "Z"]),  # plural of basis
+    ]),
+    "putting": (["P", "UH1", "T", "IH0", "NG"], [  # from "put" default
+        (frozenset(
+            "golf golfer golfers green greens putt putts putter hole "
+            "holes course stroke strokes caddie par".split()),
+         ["P", "AH1", "T", "IH0", "NG"]),  # from "putt"
+    ]),
+    "row": (["R", "OW1"], [  # line/boat default
+        (frozenset(
+            "quarrel furious blazing bitter shouting erupted neighbours "
+            "neighbors argument flaming".split()),
+         ["R", "AW1"]),  # a noisy quarrel
+    ]),
+    "rows": (["R", "OW1", "Z"], [
+        (frozenset(
+            "quarrel furious blazing bitter shouting erupted neighbours "
+            "neighbors argument flaming".split()),
+         ["R", "AW1", "Z"]),
+    ]),
+    "slough": (["S", "L", "AH1", "F"], [  # shed-skin default
+        (frozenset(
+            "swamp swamps marsh marshes bog bogs muddy mud creek "
+            "backwater waters".split()),
+         ["S", "L", "UW1"]),  # the waterway
+    ]),
+    "tarry": (["T", "AE1", "R", "IY0"], [  # linger default
+        (frozenset(
+            "tar asphalt sticky residue smell smelling black pitch "
+            "roofing".split()),
+         ["T", "AA1", "R", "IY0"]),  # covered in tar
     ]),
 }
 

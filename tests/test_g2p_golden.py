@@ -456,9 +456,81 @@ def test_context_and_tense_homographs(text, word_phones):
     assert word_phones in stream, f"{text!r} -> {stream!r}"
 
 
+@pytest.mark.parametrize(
+    "text,word_phones",
+    [
+        # ---- round-5d noun/verb stress and voicing pairs ----
+        ("the concerts sold out quickly", "K AA1 N S ER0 T S"),
+        ("the gaming consoles were expensive", "K AA1 N S OW0 L Z"),
+        ("she consoles her grieving friend", "K AH0 N S OW1 L Z"),
+        ("the decoys fooled the hunters", "D IY1 K OY0 Z"),
+        ("the view impresses every visitor", "IH0 M P R EH1 S IH0 Z"),
+        ("the letter purports to be official", "P ER0 P AO1 R T S"),
+        ("she recoils from the spider", "R IH0 K OY1 L Z"),
+        ("the relapses became less frequent", "R IY1 L AE0 P S IH0 Z"),
+        ("her researches filled three notebooks", "R IY1 S ER0 CH IH0 Z"),
+        ("the affixes attach to the stem", "AE1 F IH0 K S IH0 Z"),
+        ("he affixes the stamp to the envelope", "AH0 F IH1 K S IH0 Z"),
+        ("the annexes were built last year", "AE1 N EH2 K S IH0 Z"),
+        ("the empire annexes the province", "AH0 N EH1 K S IH0 Z"),
+        ("the misprints ruined the edition", "M IH1 S P R IH0 N T S"),
+        ("the firm subcontracts the wiring",
+         "S AH2 B K AH0 N T R AE1 K T S"),
+        ("the downgrades hurt the stock", "D AW1 N G R EY2 D Z"),
+        ("the budget overruns were massive", "OW2 V ER0 R AH1 N Z"),
+        ("he rewinds the tape", "R IY0 W AY1 N D Z"),
+        ("she conjugates the verbs", "K AA1 N JH AH0 G EY2 T S"),
+        ("the precipitates settled in the flask",
+         "P R IH0 S IH1 P IH0 T AH0 T S"),
+        ("the buffets served endless shrimp", "B AH0 F EY1 Z"),
+        ("the wind buffets the tent", "B AH1 F AH0 T S"),
+        ("she wrote a brilliant essay", "EH1 S EY2"),
+        ("dispatch the courier at once", "D IH0 S P AE1 CH"),
+        ("the dispatch arrived from the front", "D IH1 S P AE2 CH"),
+        ("calcium carbonate dissolves slowly", "K AA1 R B AH0 N AH0 T"),
+        ("a surrogate mother", "S ER1 AH0 G AH0 T"),
+        ("the regiment marched north", "R EH1 JH AH0 M AH0 N T"),
+        ("a clever experiment", "IH0 K S P EH1 R AH0 M AH0 N T"),
+        ("we reuse the containers", "R IY0 Y UW1 Z"),
+        ("the reuse of materials", "R IY0 Y UW1 S"),
+        ("the overuse of antibiotics", "OW2 V ER0 Y UW1 S"),
+        # Greek plural /-iːz/ vs verb 3sg /-ɪz/
+        ("the diagnoses were grim", "D AY2 AH0 G N OW1 S IY0 Z"),
+        ("the doctor diagnoses the illness",
+         "D AY2 AH0 G N OW1 S IH0 Z"),
+        ("her analyses were thorough", "AH0 N AE1 L AH0 S IY0 Z"),
+        # context-keyword additions (_CONTEXT_HOMOGRAPHS)
+        ("the axes of the graph intersect", "AE1 K S IY2 Z"),
+        ("the axes split the firewood", "AE1 K S IH0 Z"),
+        ("the bases of his argument were flawed", "B EY1 S IY2 Z"),
+        ("the runner touched all the bases", "B EY1 S IH0 Z"),
+        ("his putting improved on the golf green", "P AH1 T IH0 NG"),
+        ("she was putting the books away", "P UH1 T IH0 NG"),
+        ("a furious row erupted between the neighbors", "R AW1"),
+        ("the front row was empty", "R OW1"),
+        ("the canoe drifted into the muddy slough", "S L UW1"),
+        ("snakes slough their skin", "S L AH1 F"),
+        ("the black tarry residue", "T AA1 R IY0"),
+        ("do not tarry on the way", "T AE1 R IY0"),
+        # ed-adj with the round-5d numeral attributive cue
+        ("a four legged animal", "L EH1 G AH0 D"),
+        ("he legged it down the street", "L EH1 G D"),
+    ],
+)
+def test_homograph_round5d_goldens(text, word_phones):
+    """Golden sentences for the round-5d homograph additions: inflected
+    noun/verb stress pairs, use-family voicing, Greek plurals vs verb 3sg,
+    and seven context-keyword noun/noun pairs — closing the inventory gap
+    to g2p_en's ~400-entry table (reference:
+    data_utils/text_processor.py:95-102)."""
+    g2p = EnG2p()
+    stream = " ".join(g2p(text))
+    assert word_phones in stream, f"{text!r} -> {stream!r}"
+
+
 def test_homograph_inventory_scale():
-    """The homograph inventory is ~250 entries (VERDICT r4 #4; g2p_en's
-    table has ~400 backed by full nltk POS tagging)."""
+    """The homograph inventory has reached g2p_en's ~400-entry scale
+    (VERDICT r4 #4; reference table backed by full nltk POS tagging)."""
     from mamba_tts_tpu.text.g2p import (
         _CONTEXT_HOMOGRAPHS, _ED_ADJ_HOMOGRAPHS, _HOMOGRAPHS,
         _TENSE_HOMOGRAPHS, _TO_HOMOGRAPHS,
@@ -467,7 +539,7 @@ def test_homograph_inventory_scale():
     n = (len(_HOMOGRAPHS) + len(_TENSE_HOMOGRAPHS)
          + len(_CONTEXT_HOMOGRAPHS) + len(_ED_ADJ_HOMOGRAPHS)
          + len(_TO_HOMOGRAPHS))
-    assert n >= 360, n
+    assert n >= 400, n
 
 
 def test_ed_adj_to_homograph_prons_in_vocab():
